@@ -1,0 +1,121 @@
+"""Golden parity of losses/metrics against the actual reference modules
+(imported from the read-only snapshot — torch-only)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from vaeunet_tpu import losses as L
+from vaeunet_tpu import metrics as M
+
+
+@pytest.fixture(scope="module")
+def data():
+    torch.manual_seed(0)
+    logits = torch.randn(4, 1, 32, 32) * 3
+    targets = (torch.rand(4, 1, 32, 32) > 0.7).float()
+    return logits, targets
+
+
+def test_dice_loss_parity(reference_path, data):
+    from utils.loss import dice_loss as ref_dice
+    logits, targets = data
+    ref = float(ref_dice(logits, targets))
+    ours = float(L.dice_loss(jnp.asarray(logits.numpy()), jnp.asarray(targets.numpy())))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_combined_loss_parity(reference_path, data):
+    from utils.loss import CombinedLoss
+    logits, targets = data
+    ref = float(CombinedLoss()(logits, targets))
+    ours = float(L.combined_loss(jnp.asarray(logits.numpy()),
+                                 jnp.asarray(targets.numpy())))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_ma_losses_parity(reference_path, data):
+    from utils.loss import MAFocalLoss, MASegmentationLoss
+    logits, targets = data
+    ref_f = float(MAFocalLoss()(logits, targets))
+    ours_f = float(L.ma_focal_loss(jnp.asarray(logits.numpy()),
+                                   jnp.asarray(targets.numpy())))
+    assert abs(ours_f - ref_f) < 1e-6
+    ref_s = float(MASegmentationLoss(class_weight=0.9)(logits, targets))
+    ours_s = float(L.ma_segmentation_loss(jnp.asarray(logits.numpy()),
+                                          jnp.asarray(targets.numpy()),
+                                          class_weight=0.9))
+    assert abs(ours_s - ref_s) < 1e-6
+
+
+def test_kl_free_bits_parity(reference_path):
+    from utils.loss import kl_with_free_bits as ref_kl
+    torch.manual_seed(1)
+    mu = torch.randn(8, 32)
+    logvar = torch.randn(8, 32) * 2
+    for fb in (0.0, 1e-3, 0.5):
+        ref = float(ref_kl(mu, logvar, free_bits=fb))
+        ours = float(L.kl_with_free_bits(jnp.asarray(mu.numpy()),
+                                         jnp.asarray(logvar.numpy()),
+                                         free_bits=fb))
+        assert abs(ours - ref) < 1e-4, (fb, ours, ref)
+
+
+def test_kl_annealer_parity(reference_path):
+    from utils.loss import KLAnnealer as RefKL
+    for strategy in ("linear", "cyclical", "constant"):
+        ref = RefKL(kl_start=0.0, kl_end=0.001, warmup_epochs=20, strategy=strategy)
+        ours = L.KLAnnealer(kl_start=0.0, kl_end=0.001, warmup_epochs=20,
+                            strategy=strategy)
+        for epoch in (0, 1, 5, 19, 20, 25, 100):
+            assert ours.get_weight(epoch) == pytest.approx(ref.get_weight(epoch))
+        assert ours.get_weight(3, batch=7, num_batches=11) == pytest.approx(
+            ref.get_weight(3, batch=7, num_batches=11))
+
+
+def test_focal_loss_secondary_parity(reference_path, data):
+    from utils.metrics import focal_loss as ref_focal
+    logits, targets = data
+    ref = float(ref_focal(logits, targets))
+    ours = float(L.focal_loss(jnp.asarray(logits.numpy()),
+                              jnp.asarray(targets.numpy())))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_get_all_metrics_parity(reference_path, data):
+    from utils.metrics import get_all_metrics as ref_metrics
+    logits, targets = data
+    # parity mode: metrics on raw logits (the reference validation quirk,
+    # evaluate.py:76)
+    ref = ref_metrics(logits, targets)
+    ours = M.get_all_metrics(jnp.asarray(logits.numpy()),
+                             jnp.asarray(targets.numpy()))
+    for k, v in ref.items():
+        assert float(ours[k]) == pytest.approx(v, abs=1e-5), k
+
+
+def test_dice_empty_both_sides(reference_path):
+    from utils.metrics import dice_score as ref_dice
+    pred = torch.zeros(1, 1, 8, 8)
+    target = torch.zeros(1, 1, 8, 8)
+    assert float(ref_dice(pred, target)) == 1.0
+    assert float(M.dice_score(jnp.zeros((1, 1, 8, 8)), jnp.zeros((1, 1, 8, 8)))) == 1.0
+
+
+def test_bce_with_logits_matches_torch(data):
+    logits, targets = data
+    ref = float(torch.nn.functional.binary_cross_entropy_with_logits(logits, targets))
+    ours = float(L.bce_with_logits(jnp.asarray(logits.numpy()),
+                                   jnp.asarray(targets.numpy())))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_make_criterion_selects_ma():
+    logits = jnp.ones((1, 4, 4, 1))
+    targets = jnp.ones((1, 4, 4, 1))
+    assert float(L.make_criterion("MA")(logits, targets)) == pytest.approx(
+        float(L.ma_segmentation_loss(logits, targets, class_weight=0.9)))
+    assert float(L.make_criterion("EX")(logits, targets)) == pytest.approx(
+        float(L.combined_loss(logits, targets)))

@@ -1,0 +1,74 @@
+"""Parity of resize ops against torch.nn.functional.interpolate."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from vaeunet_tpu.ops.resize import (
+    broadcast_latent_spatial,
+    resize_bilinear,
+    resize_nearest,
+    upsample2x_bilinear_align_corners,
+)
+
+
+def _torch_resize(x_nhwc, size, mode, align_corners=None):
+    t = torch.from_numpy(np.asarray(x_nhwc)).permute(0, 3, 1, 2)
+    kwargs = {} if align_corners is None else {"align_corners": align_corners}
+    y = F.interpolate(t, size=size, mode=mode, **kwargs)
+    return y.permute(0, 2, 3, 1).numpy()
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((7, 9), (14, 18)),
+    ((16, 16), (32, 32)),
+    ((13, 7), (5, 11)),    # downscale
+    ((8, 8), (8, 8)),      # identity
+    ((1, 5), (3, 10)),     # degenerate H
+])
+@pytest.mark.parametrize("align", [True, False])
+def test_bilinear_matches_torch(in_hw, out_hw, align):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), out_hw, align_corners=align))
+    ref = _torch_resize(x, out_hw, "bilinear", align)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
+
+
+def test_bilinear_upscale_ulp_close():
+    """The hot decoder path (2x align-corners upsample) must be within 2 ulp
+    of torch on the CPU backend (torch's SIMD kernel FMA accounts for the
+    residual); bit-parity is asserted on thresholded masks downstream."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 16, 16, 8).astype(np.float32)
+    ours = np.asarray(upsample2x_bilinear_align_corners(jnp.asarray(x)))
+    ref = _torch_resize(x, (32, 32), "bilinear", True)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=5e-7)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((10, 10), (25, 25)),
+    ((25, 25), (10, 10)),
+    ((7, 9), (14, 18)),
+])
+def test_nearest_matches_torch(in_hw, out_hw):
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, *in_hw, 1).astype(np.float32)
+    ours = np.asarray(resize_nearest(jnp.asarray(x), out_hw))
+    ref = _torch_resize(x, out_hw, "nearest")
+    assert (ours == ref).all()
+
+
+def test_broadcast_latent_equals_interp_of_1x1():
+    """Interpolating a 1x1 map == broadcast (the reference does the former,
+    unet_resnet.py:217-221; we do the latter)."""
+    rng = np.random.RandomState(3)
+    z = rng.randn(4, 32).astype(np.float32)
+    ours = np.asarray(broadcast_latent_spatial(jnp.asarray(z), (8, 8)))
+    t = torch.from_numpy(z)[:, :, None, None]
+    ref = F.interpolate(t, size=(8, 8), mode="bilinear", align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert (ours == ref).all()

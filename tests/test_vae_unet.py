@@ -1,0 +1,124 @@
+"""Parity and behavior of the VAE-UNet (UNetResNet) flagship model."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_mirrors import UNetResNetT
+from vaeunet_tpu.compat.torch_weights import convert_unet_resnet_state_dict
+from vaeunet_tpu.models.vae_unet import UNetResNet, resolve_injection
+
+
+def _randomize_bn_stats(model: torch.nn.Module, seed: int = 0):
+    """Fresh BN running stats are (0,1) which hides stat-mapping bugs —
+    randomize them."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5, generator=g)
+            m.running_var.uniform_(0.5, 2.0, generator=g)
+
+
+@pytest.mark.parametrize("injection", ["all", "first", "last", "bottleneck",
+                                       "inject_no_bottleneck", "none"])
+def test_forward_parity_deterministic(injection):
+    torch.manual_seed(42)
+    ref = UNetResNetT(3, 1, latent_dim=32, latent_injection=injection)
+    _randomize_bn_stats(ref)
+    ref.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref_logits, ref_mu, ref_logvar = ref(x)
+
+    variables = jax.tree.map(
+        jnp.asarray, convert_unet_resnet_state_dict(ref.state_dict()))
+    model = UNetResNet(3, 1, latent_dim=32, latent_injection=injection)
+    logits, mu, logvar = model.apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False, sample=False)
+    logits = np.asarray(logits).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(np.asarray(mu), ref_mu.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar), ref_logvar.numpy(), atol=1e-4)
+    np.testing.assert_allclose(logits, ref_logits.numpy(), rtol=0, atol=5e-4)
+    p_ours = 1 / (1 + np.exp(-logits))
+    p_ref = 1 / (1 + np.exp(-ref_logits.numpy()))
+    assert ((p_ours > 0.5) == (p_ref > 0.5)).all()
+
+
+def test_no_skip_no_attention_parity():
+    torch.manual_seed(7)
+    ref = UNetResNetT(3, 1, use_attention=False, use_skip=False)
+    _randomize_bn_stats(ref, 7)
+    ref.eval()
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref_logits, _, _ = ref(x)
+    variables = jax.tree.map(
+        jnp.asarray, convert_unet_resnet_state_dict(ref.state_dict()))
+    model = UNetResNet(3, 1, use_attention=False, use_skip=False)
+    logits, _, _ = model.apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False, sample=False)
+    np.testing.assert_allclose(np.asarray(logits).transpose(0, 3, 1, 2),
+                               ref_logits.numpy(), rtol=0, atol=5e-4)
+
+
+def test_resolve_injection_table():
+    """Strategy table must match unet_resnet.py:156-175,210."""
+    assert resolve_injection("all") == ((True,) * 4, True, True)
+    assert resolve_injection("first") == ((True, False, False, False), True, True)
+    assert resolve_injection("last") == ((False, False, False, True), True, True)
+    assert resolve_injection("bottleneck") == ((False,) * 4, True, True)
+    assert resolve_injection("inject_no_bottleneck") == ((True,) * 4, False, False)
+    assert resolve_injection("none") == ((False,) * 4, False, False)
+    assert resolve_injection((0, 2)) == ((True, False, True, False), True, True)
+    assert resolve_injection("garbage") == ((True,) * 4, True, True)
+
+
+def test_sampling_statistics():
+    """Reparameterized z must follow N(mu, e^logvar * T^2)."""
+    model = UNetResNet(3, 1)
+    mu = jnp.array([[1.0, -2.0]])
+    logvar = jnp.array([[0.0, jnp.log(4.0)]])
+    keys = jax.random.split(jax.random.PRNGKey(0), 4096)
+
+    bound = model.bind({"params": {}})
+    zs = jax.vmap(lambda k: bound.reparameterize(mu, logvar, k, temperature=2.0))(keys)
+    zs = np.asarray(zs)[:, 0, :]
+    np.testing.assert_allclose(zs.mean(0), [1.0, -2.0], atol=0.15)
+    np.testing.assert_allclose(zs.std(0), [2.0, 4.0], rtol=0.1)
+
+
+def test_encode_decode_ensemble_consistency():
+    """vmap'd decode_features over N z-samples == looped decodes, and
+    encode()+decode_features(z=mu) == forward(sample=False)."""
+    model = UNetResNet(3, 1, latent_dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(9)},
+        x, train=False)
+
+    logits_fwd, mu, logvar = model.apply(variables, x, train=False, sample=False)
+
+    mu2, logvar2, features = model.apply(
+        variables, x, train=False, method=UNetResNet.encode_with_features)
+    np.testing.assert_array_equal(np.asarray(mu), np.asarray(mu2))
+
+    logits_dec = model.apply(variables, mu2, features, (32, 32), False,
+                             method=UNetResNet.decode_features)
+    np.testing.assert_array_equal(np.asarray(logits_fwd), np.asarray(logits_dec))
+
+    # N-sample ensemble via vmap matches per-sample loop
+    zs = jax.vmap(lambda k: mu2 + jax.random.normal(k, mu2.shape))(
+        jax.random.split(jax.random.PRNGKey(2), 3))
+    ens = jax.vmap(lambda z: model.apply(
+        variables, z, features, (32, 32), False,
+        method=UNetResNet.decode_features))(zs)
+    for i in range(3):
+        one = model.apply(variables, zs[i], features, (32, 32), False,
+                          method=UNetResNet.decode_features)
+        np.testing.assert_allclose(np.asarray(ens[i]), np.asarray(one), atol=1e-5)

@@ -1,0 +1,26 @@
+"""vaeunet_tpu — a TPU-native (JAX/XLA/Pallas) segmentation framework.
+
+A ground-up rebuild of the capabilities of tmuird/VAEUNET (a milesial
+Pytorch-UNet derivative with a variational bottleneck for uncertainty
+quantification) designed TPU-first:
+
+- NHWC layouts everywhere (TPU-native), bf16 mixed precision policies
+- one jit'd train step, functional train state, explicit PRNG threading
+- Pallas kernels for fused hot ops, XLA `conv_general_dilated` elsewhere
+- `jax.sharding.Mesh` + `shard_map` data parallelism over ICI
+- tiled sliding-window full-resolution inference with feathered blending
+- vmap'd N-sample latent ensembles for uncertainty maps
+
+Reference parity map (file:line cites into the reference snapshot):
+- models.unet      <- unet/unet_model.py, unet/unet_parts.py
+- models.vae_unet  <- unet/unet_resnet.py
+- losses           <- utils/loss.py
+- metrics          <- utils/metrics.py
+- uncertainty      <- utils/uncertainty_metrics.py, utils/vae_utils.py
+- data             <- utils/data_loading.py
+- training         <- train.py, evaluate.py
+- inference        <- visualize_vae.py (predict_with_patches / predict_full_image)
+- analysis         <- analyze_model.py, visualize_vae.py
+"""
+
+__version__ = "0.1.0"

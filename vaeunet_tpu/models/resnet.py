@@ -1,0 +1,84 @@
+"""ResNet-34 feature encoder, flax/NHWC.
+
+TPU-native rebuild of the encoder the reference obtains from
+``timm.create_model('resnet34', features_only=True, in_chans=n_channels)``
+(reference unet/unet_resnet.py:131-137).  Returns the same 5 feature maps:
+
+  index  source                stride  channels
+  0      stem act (conv7x7/2)  2       64
+  1      layer1 (3 blocks)     4       64
+  2      layer2 (4 blocks)     8       128
+  3      layer3 (6 blocks)     16      256
+  4      layer4 (3 blocks)     32      512
+
+Pretrained torchvision/timm weights can be imported through
+``vaeunet_tpu.compat.torch_weights`` (NCHW->NHWC, OIHW->HWIO, BN stat
+remapping); without a weights file the encoder trains from scratch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vaeunet_tpu.ops.layers import BatchNorm, Conv
+from vaeunet_tpu.ops.pool import max_pool
+
+
+class BasicBlock(nn.Module):
+    """conv3x3(s)-BN-ReLU-conv3x3-BN + identity/1x1-downsample, ReLU."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = Conv(self.features, kernel_size=3, stride=self.stride, padding=1,
+                 use_bias=False, name="conv1")(x)
+        y = BatchNorm(self.features, name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = Conv(self.features, kernel_size=3, padding=1, use_bias=False,
+                 name="conv2")(y)
+        y = BatchNorm(self.features, name="bn2")(y, use_running_average=not train)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = Conv(self.features, kernel_size=1, stride=self.stride,
+                            use_bias=False, name="downsample_conv")(x)
+            identity = BatchNorm(self.features, name="downsample_bn")(
+                identity, use_running_average=not train)
+        return nn.relu(y + identity)
+
+
+class ResNet34Encoder(nn.Module):
+    """Feature-pyramid encoder; `__call__` returns the 5 feature maps."""
+
+    n_channels: int = 3
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    stage_features: Sequence[int] = (64, 128, 256, 512)
+
+    # channels of each returned feature map, mirroring
+    # timm's ``feature_info.channels()`` (unet_resnet.py:137)
+    @property
+    def feature_channels(self) -> List[int]:
+        return [64, *self.stage_features]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        assert x.shape[-1] == self.n_channels
+        feats = []
+        x = Conv(64, kernel_size=7, stride=2, padding=3, use_bias=False,
+                 name="conv1")(x)
+        x = BatchNorm(64, name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        feats.append(x)                       # stride 2
+        x = max_pool(x, window=3, stride=2, padding=1)
+        for si, (n_blocks, features) in enumerate(
+                zip(self.stage_sizes, self.stage_features)):
+            for bi in range(n_blocks):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                x = BasicBlock(features, stride, name=f"layer{si + 1}_{bi}")(
+                    x, train=train)
+            feats.append(x)                   # strides 4, 8, 16, 32
+        return feats

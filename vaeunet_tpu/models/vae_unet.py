@@ -1,0 +1,261 @@
+"""VAE-UNet: ResNet34-encoder U-Net with a variational bottleneck, flax/NHWC.
+
+Rebuild of reference ``unet/unet_resnet.py``:
+- DecoderBlock                      <- unet_resnet.py:31-101
+- UNetResNet (mu/logvar heads,
+  reparameterize, z_initial,
+  injection strategies, decoder)    <- unet_resnet.py:103-279
+
+Key TPU-first deviations from the torch original (outputs are identical):
+- the latent z is spatially constant, so "interpolate z to HxW"
+  (unet_resnet.py:217-221) is implemented as a broadcast, not a gather;
+- sampling is functional: the PRNG key is threaded explicitly, and the
+  N-sample uncertainty ensemble vmaps ``decode_features`` over a batch of z
+  instead of a Python loop (cf. visualize_vae.py:617-647);
+- modules are defined in ``setup`` so ``encode`` / ``decode_features`` are
+  first-class apply methods.
+
+Injection strategies (unet_resnet.py:104-123):
+  'all'                  bottleneck + all 4 decoder levels
+  'first'                bottleneck + level 0
+  'last'                 bottleneck + level 3
+  'bottleneck'           bottleneck only
+  'inject_no_bottleneck' levels 0-3, decoder starts from encoder features
+  'none'                 no injection anywhere (z = mu, deterministic)
+  (i0, i1, ...)          bottleneck + the listed 0-based levels
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vaeunet_tpu.models.resnet import ResNet34Encoder
+from vaeunet_tpu.ops.layers import BatchNorm, Conv
+from vaeunet_tpu.ops.pool import avg_pool_global
+from vaeunet_tpu.ops.resize import broadcast_latent_spatial, resize_bilinear
+
+LatentInjection = Union[str, Tuple[int, ...]]
+
+
+def resolve_injection(latent_injection: LatentInjection) -> Tuple[Tuple[bool, ...], bool, bool]:
+    """-> (use_latent per decoder level, use_bottleneck, should_sample).
+
+    Mirrors unet_resnet.py:156-175 and :210 exactly, including the fallback of
+    unknown strings to 'all'.
+    """
+    if isinstance(latent_injection, (tuple, list)):
+        use_latent = tuple(i in tuple(latent_injection) for i in range(4))
+        return use_latent, True, True
+    s = latent_injection
+    if s in ("all", "inject_no_bottleneck"):
+        use_latent = (True, True, True, True)
+    elif s == "first":
+        use_latent = (True, False, False, False)
+    elif s == "last":
+        use_latent = (False, False, False, True)
+    elif s in ("bottleneck", "none"):
+        use_latent = (False, False, False, False)
+    else:  # unknown -> 'all' (reference behavior)
+        use_latent = (True, True, True, True)
+        s = "all"
+    use_bottleneck = s not in ("none", "inject_no_bottleneck")
+    should_sample = s not in ("none", "inject_no_bottleneck")
+    return use_latent, use_bottleneck, should_sample
+
+
+class AttentionGate(nn.Module):
+    """Same additive gate as parts.AttentionGate but with the unet_resnet
+    channel plan (unet_resnet.py:6-29): gate signal g is the upsampled decoder
+    feature, x is the skip."""
+
+    f_int: int
+
+    @nn.compact
+    def __call__(self, g, x, train: bool = False):
+        g1 = Conv(self.f_int, kernel_size=1, name="W_g_conv")(g)
+        g1 = BatchNorm(self.f_int, name="W_g_bn")(g1, use_running_average=not train)
+        x1 = Conv(self.f_int, kernel_size=1, name="W_x_conv")(x)
+        x1 = BatchNorm(self.f_int, name="W_x_bn")(x1, use_running_average=not train)
+        psi = nn.relu(g1 + x1)
+        psi = Conv(1, kernel_size=1, name="psi_conv")(psi)
+        psi = BatchNorm(1, name="psi_bn")(psi, use_running_average=not train)
+        return x * nn.sigmoid(psi)
+
+
+class DecoderBlock(nn.Module):
+    """Upsample -> (attention-gated) skip concat -> optional z concat ->
+    (3x3 conv + BN + ReLU) x 2.  (unet_resnet.py:31-101)"""
+
+    in_channels: int
+    out_channels: int
+    latent_dim: int
+    use_attention: bool = True
+    use_skip: bool = True
+    use_latent: bool = True
+
+    def setup(self):
+        if self.use_latent:
+            self.z_proj_conv = Conv(self.latent_dim, kernel_size=1, name="z_proj_conv")
+            self.z_proj_bn = BatchNorm(self.latent_dim, name="z_proj_bn")
+        if self.use_attention and self.use_skip:
+            self.attention = AttentionGate(self.in_channels // 4, name="attention")
+        self.conv1 = Conv(self.out_channels, kernel_size=3, padding=1,
+                          use_bias=False, name="conv1")
+        self.bn1 = BatchNorm(self.out_channels, name="bn1")
+        self.conv2 = Conv(self.out_channels, kernel_size=3, padding=1,
+                          use_bias=False, name="conv2")
+        self.bn2 = BatchNorm(self.out_channels, name="bn2")
+
+    def __call__(self, x, skip, z, train: bool = False):
+        """x: [B,h,w,Cin]; skip: [B,H,W,Cs] or None; z: [B,D] (spatially
+        constant latent) or None."""
+        if skip is not None:
+            out_hw = skip.shape[1:3]
+        else:
+            out_hw = (x.shape[1] * 2, x.shape[2] * 2)
+        x = resize_bilinear(x, out_hw, align_corners=True)
+
+        components = [x]
+        if skip is not None and self.use_skip:
+            if self.use_attention:
+                skip = self.attention(x, skip, train=train)
+            components.append(skip)
+        if self.use_latent:
+            z_sp = broadcast_latent_spatial(z, out_hw)
+            z_sp = self.z_proj_conv(z_sp)
+            z_sp = self.z_proj_bn(z_sp, use_running_average=not train)
+            components.append(nn.relu(z_sp))
+        y = jnp.concatenate(components, axis=-1)
+        y = nn.relu(self.bn1(self.conv1(y), use_running_average=not train))
+        y = nn.relu(self.bn2(self.conv2(y), use_running_average=not train))
+        return y
+
+
+class UNetResNet(nn.Module):
+    """VAE-UNet flagship model.  (unet_resnet.py:103-279)
+
+    ``__call__`` returns (logits, mu, logvar) like the reference forward;
+    pass ``rngs={'latent': key}`` to apply when sampling is active.
+    """
+
+    n_channels: int = 3
+    n_classes: int = 1
+    latent_dim: int = 32
+    use_attention: bool = True
+    use_skip: bool = True
+    latent_injection: LatentInjection = "all"
+
+    def setup(self):
+        use_latent, use_bottleneck, should_sample = resolve_injection(
+            self.latent_injection)
+        self.use_bottleneck = use_bottleneck
+        self.should_sample = should_sample
+
+        self.encoder = ResNet34Encoder(self.n_channels, name="encoder")
+        enc_ch = self.encoder.feature_channels  # [64, 64, 128, 256, 512]
+
+        self.mu_conv = Conv(self.latent_dim, kernel_size=1, name="mu_conv")
+        self.logvar_conv = Conv(self.latent_dim, kernel_size=1, name="logvar_conv")
+
+        self.z_initial_conv = Conv(512, kernel_size=1, name="z_initial_conv")
+        self.z_initial_bn = BatchNorm(512, name="z_initial_bn")
+
+        plans = [  # (in_ch, skip_ch, out_ch) per unet_resnet.py:181-186
+            (512, enc_ch[-2], 512),
+            (512, enc_ch[-3], 256),
+            (256, enc_ch[-4], 128),
+            (128, enc_ch[0], 64),
+        ]
+        self.decoder_blocks = [
+            DecoderBlock(in_ch, out_ch, self.latent_dim,
+                         use_attention=self.use_attention and self.use_skip,
+                         use_skip=self.use_skip,
+                         use_latent=use_latent[i],
+                         name=f"decoder_{i}")
+            for i, (in_ch, _skip_ch, out_ch) in enumerate(plans)
+        ]
+        self.final_conv = Conv(self.n_classes, kernel_size=1, name="final_conv")
+
+    # ----- pieces -------------------------------------------------------
+
+    def encode(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (mu, logvar), each [B, latent_dim].  (unet_resnet.py:242-248)"""
+        features = self.encoder(x, train=train)
+        x_enc = features[-1]
+        mu = avg_pool_global(self.mu_conv(x_enc))
+        logvar = avg_pool_global(self.logvar_conv(x_enc))
+        return mu, logvar
+
+    def encode_with_features(self, x, train: bool = False):
+        features = self.encoder(x, train=train)
+        x_enc = features[-1]
+        mu = avg_pool_global(self.mu_conv(x_enc))
+        logvar = avg_pool_global(self.logvar_conv(x_enc))
+        return mu, logvar, features
+
+    def reparameterize(self, mu, logvar, rng, temperature: float = 1.0):
+        """z = mu + eps * std * T.  (unet_resnet.py:191-194, vae_utils.py:5-10)"""
+        std = jnp.exp(0.5 * logvar)
+        eps = jax.random.normal(rng, std.shape, std.dtype)
+        return mu + eps * std * temperature
+
+    def decode_features(self, z, features: Sequence[jnp.ndarray],
+                        output_hw: Optional[Tuple[int, int]] = None,
+                        train: bool = False):
+        """Decoder from a latent z and precomputed encoder features.
+
+        This is the body shared by forward / the N-sample ensemble
+        (vae_utils.py:45-67); vmap over the z axis for ensembles.
+        """
+        bottleneck = features[-1]
+        bhw = bottleneck.shape[1:3]
+        if self.use_bottleneck:
+            z_sp = broadcast_latent_spatial(z, bhw)
+            x = nn.relu(self.z_initial_bn(self.z_initial_conv(z_sp),
+                                          use_running_average=not train))
+        else:
+            x = bottleneck
+        for i, block in enumerate(self.decoder_blocks):
+            skip = features[-(i + 2)] if (i < len(features) - 1 and self.use_skip) else None
+            x = block(x, skip, z, train=train)
+        logits = self.final_conv(x)
+        if output_hw is not None and tuple(output_hw) != tuple(logits.shape[1:3]):
+            logits = resize_bilinear(logits, output_hw, align_corners=True)
+        return logits
+
+    # ----- forward ------------------------------------------------------
+
+    def __call__(self, x, train: bool = False, sample: Optional[bool] = None):
+        """-> (logits, mu, logvar).  (unet_resnet.py:196-240)
+
+        `sample=None` follows the injection strategy (sampling unless the
+        strategy is 'none'/'inject_no_bottleneck'); pass sample=False for a
+        deterministic z=mu forward (the parity path).
+        """
+        input_hw = x.shape[1:3]
+        mu, logvar, features = self.encode_with_features(x, train=train)
+        do_sample = self.should_sample if sample is None else sample
+        if do_sample:
+            rng = self.make_rng("latent")
+            z = self.reparameterize(mu, logvar, rng)
+        else:
+            z = mu
+        logits = self.decode_features(z, features, output_hw=input_hw, train=train)
+        return logits, mu, logvar
+
+    def decode(self, z, input_size: Optional[Tuple[int, int]] = None,
+               probe_hw: Tuple[int, int] = (512, 512), train: bool = False):
+        """Standalone decode matching unet_resnet.py:250-279: runs the encoder
+        on a zero image to obtain skip shapes (reference behavior, kept for
+        API parity)."""
+        zeros = jnp.zeros((z.shape[0], probe_hw[0], probe_hw[1], self.n_channels),
+                          z.dtype)
+        features = self.encoder(zeros, train=False)
+        if not self.use_bottleneck:
+            features = list(features)
+            features[-1] = jnp.zeros_like(features[-1])
+        return self.decode_features(z, features, output_hw=input_size, train=train)
