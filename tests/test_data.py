@@ -1,0 +1,177 @@
+"""Data pipeline: dataset semantics, caching, loader batching, augmentation."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from vaeunet_tpu.data.augment import augment_batch, augment_sample
+from vaeunet_tpu.data.dataset import IDRIDDataset, preprocess_pil
+from vaeunet_tpu.data.fundus import crop_square_bounds, detect_fundus
+from vaeunet_tpu.data.loader import Loader
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    """Synthetic fundus-like dataset: dark background, bright circle, small
+    lesion blobs."""
+    root = tmp_path_factory.mktemp("idrid")
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 4), ("val", 2), ("test", 2)):
+        (root / "imgs" / split).mkdir(parents=True)
+        (root / "masks" / split / "EX").mkdir(parents=True)
+        for i in range(n):
+            h, w = 96, 128
+            img = np.zeros((h, w, 3), np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            circle = (yy - h // 2) ** 2 + (xx - w // 2) ** 2 < (h // 2 - 4) ** 2
+            img[circle] = rng.randint(60, 200, (circle.sum(), 3))
+            mask = np.zeros((h, w), np.uint8)
+            cy, cx = rng.randint(30, 60), rng.randint(40, 80)
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 < 36
+            mask[blob & circle] = 255
+            Image.fromarray(img).save(root / "imgs" / split / f"IDRiD_{i:02d}.jpg")
+            Image.fromarray(mask).save(
+                root / "masks" / split / "EX" / f"IDRiD_{i:02d}_EX.tif")
+    return root
+
+
+def test_preprocess_matches_reference_semantics(synth_data):
+    img = Image.open(synth_data / "imgs" / "train" / "IDRiD_00.jpg").convert("RGB")
+    arr = preprocess_pil(img, 0.5, is_mask=False)
+    assert arr.dtype == np.uint8 and arr.shape == (48, 64, 3)
+    mask = Image.open(
+        synth_data / "masks" / "train" / "EX" / "IDRiD_00_EX.tif").convert("L")
+    m = preprocess_pil(mask, 0.5, is_mask=True)
+    assert m.dtype == np.float32 and set(np.unique(m)) <= {0.0, 1.0}
+
+
+def test_patch_dataset_balanced(synth_data):
+    ds = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                      patch_size=32, lesion_type="EX", balance_seed=0)
+    assert len(ds) > 0
+    pos = sum(1 for r in ds.patch_index if r[3])
+    neg = sum(1 for r in ds.patch_index if not r[3])
+    assert neg <= pos  # balancing rule (data_loading.py:415-432)
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["mask"].shape == (32, 32, 1)
+    assert s["image"].dtype == np.float32
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+
+
+def test_val_keeps_all_patches(synth_data):
+    ds = IDRIDDataset(str(synth_data), split="val", scale=1.0,
+                      patch_size=32, lesion_type="EX")
+    # val keeps positives AND negatives (data_loading.py:434-438)
+    assert any(not r[3] for r in ds.patch_index) or len(ds.patch_index) > 0
+
+
+def test_border_filtering(synth_data):
+    strict = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                          patch_size=32, lesion_type="EX", balance_seed=0)
+    loose = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                         patch_size=32, lesion_type="EX",
+                         skip_border_check=True, balance_seed=0)
+    n_strict_all = len([r for r in strict.patch_index])
+    # with border check skipped, at least as many candidate patches exist
+    assert len(loose.patch_index) >= n_strict_all
+
+
+def test_cache_reused(synth_data):
+    t0 = time.time()
+    ds1 = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                       patch_size=32, lesion_type="EX", balance_seed=1)
+    first = time.time() - t0
+    t0 = time.time()
+    ds2 = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                       patch_size=32, lesion_type="EX", balance_seed=1)
+    second = time.time() - t0
+    assert ds2.cache_dir == ds1.cache_dir
+    assert (ds1.cache_dir / "meta.json").exists()
+    assert [r[:3] for r in ds1.patch_index] == [r[:3] for r in ds2.patch_index]
+    assert second <= first + 0.5
+
+
+def test_full_image_mode(synth_data):
+    ds = IDRIDDataset(str(synth_data), split="test", scale=1.0,
+                      patch_size=None, lesion_type="EX")
+    assert ds.is_full_image
+    s = ds[0]
+    assert s["image"].shape[0] == s["image"].shape[1] == ds.patch_size
+    img, mask = ds.get_image_and_mask(s["img_id"])
+    assert img.shape[:2] == (ds.patch_size, ds.patch_size)
+    assert mask.shape == (*img.shape[:2], 1)
+
+
+def test_fundus_detection(synth_data):
+    img = np.array(Image.open(synth_data / "imgs" / "train" / "IDRiD_00.jpg"))
+    d, (cx, cy) = detect_fundus(img)
+    assert d is not None and 70 < d < 100        # circle radius ~44 -> d ~88
+    assert abs(cx - 64) < 8 and abs(cy - 48) < 8
+    t, b, l, r = crop_square_bounds(96, 128, (cx, cy), d)
+    assert (b - t) == (r - l)                     # square
+
+
+def test_loader_shapes_and_padding(synth_data):
+    ds = IDRIDDataset(str(synth_data), split="val", scale=1.0,
+                      patch_size=32, lesion_type="EX")
+    loader = Loader(ds, batch_size=4, shuffle=False, drop_last=False)
+    seen = 0
+    for batch in loader:
+        assert batch["image"].shape == (4, 32, 32, 3)
+        assert batch["mask"].shape == (4, 32, 32, 1)
+        assert 1 <= batch["count"] <= 4
+        seen += batch["count"]
+    assert seen == len(ds)
+
+    train_loader = Loader(ds, batch_size=4, shuffle=True, seed=0)
+    n = sum(1 for _ in train_loader)
+    assert n == len(ds) // 4  # drop_last
+
+
+def test_augment_shapes_and_determinism():
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(4, 32, 32, 1) > 0.8).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    i1, m1 = augment_batch(key, images.copy(), masks.copy())
+    i2, m2 = augment_batch(key, images.copy(), masks.copy())
+    assert i1.shape == images.shape and m1.shape == masks.shape
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    # masks stay binary, images stay in range
+    assert set(np.unique(np.asarray(m1))) <= {0.0, 1.0}
+    assert float(i1.min()) >= 0.0 and float(i1.max()) <= 1.0 + 1e-6
+    # different key -> different result
+    i3, _ = augment_batch(jax.random.PRNGKey(1), images.copy(), masks.copy())
+    assert not np.array_equal(np.asarray(i1), np.asarray(i3))
+
+
+def test_augment_geometric_consistency():
+    """Flips must move image and mask identically: encode the mask into an
+    image channel and compare.  (Use a key whose draw applies a flip.)"""
+    rng = np.random.RandomState(1)
+    mask = (rng.rand(32, 32, 1) > 0.7).astype(np.float32)
+    img = jnp.concatenate([jnp.asarray(mask)] * 3, axis=-1)
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        from vaeunet_tpu.data.augment import _maybe_flips
+        ai, am = _maybe_flips(key, img, jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(ai[..., :1]), np.asarray(am))
+
+
+def test_augment_statistical_sanity():
+    """Across many keys the policy must actually perturb the data."""
+    img = jnp.full((16, 16, 3), 0.5, jnp.float32)
+    mask = jnp.zeros((16, 16, 1), jnp.float32)
+    outs = []
+    for seed in range(16):
+        ai, _ = augment_sample(jax.random.PRNGKey(seed), img, mask)
+        outs.append(float(jnp.mean(ai)))
+    assert np.std(outs) > 1e-4  # photometric ops fired at least sometimes

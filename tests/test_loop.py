@@ -1,0 +1,70 @@
+"""End-to-end smoke: synthetic dataset -> short training -> checkpoint ->
+restore -> values round-trip.  (The test pyramid apex, SURVEY.md section 4.)"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from vaeunet_tpu.training.checkpoint import restore_checkpoint, load_config
+from vaeunet_tpu.training.config import TrainConfig
+from vaeunet_tpu.training.loop import train_model
+from vaeunet_tpu.training.state import create_train_state, get_learning_rate
+from vaeunet_tpu.utils.tracking import Tracker
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("idrid_e2e")
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 3), ("val", 2)):
+        (root / "imgs" / split).mkdir(parents=True)
+        (root / "masks" / split / "EX").mkdir(parents=True)
+        for i in range(n):
+            h, w = 64, 64
+            yy, xx = np.mgrid[0:h, 0:w]
+            cy, cx = rng.randint(20, 44), rng.randint(20, 44)
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 < 80
+            img = np.full((h, w, 3), 40, np.uint8)
+            img[blob] = 220
+            mask = np.zeros((h, w), np.uint8)
+            mask[blob] = 255
+            Image.fromarray(img).save(root / "imgs" / split / f"IDRiD_{i:02d}.jpg")
+            Image.fromarray(mask).save(
+                root / "masks" / split / "EX" / f"IDRiD_{i:02d}_EX.tif")
+    return root
+
+
+def test_train_checkpoint_resume(synth_root, tmp_path):
+    config = TrainConfig(
+        model_type="resnet", latent_dim=8, epochs=2, batch_size=2,
+        gradient_accumulation_steps=1, learning_rate=1e-3, amp=False,
+        data_dir=str(synth_root), img_scale=1.0, patch_size=32,
+        lesion_type="EX", seed=0, checkpoint_dir=str(tmp_path / "ckpt"),
+        kl_anneal_epochs=2, early_stopping_patience=100)
+    tracker = Tracker(run_dir=str(tmp_path / "runs"), config={"test": True})
+    state = train_model(config, tracker=tracker)
+    assert int(state.step) > 0
+
+    run_dir = config.checkpoint_path()
+    saved_cfg = load_config(run_dir)
+    assert saved_cfg is not None and saved_cfg.lesion_type == "EX"
+
+    template = create_train_state(config, jax.random.PRNGKey(0), (32, 32))
+    restored, host_state = restore_checkpoint(run_dir, template)
+    assert host_state["best_val_score"] > 0
+    assert int(restored.step) > 0
+    assert get_learning_rate(restored) > 0
+    # restored params are real values (not the template's init)
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+                     restored.params, template.params))
+    assert diff > 0
+
+    # metrics were tracked
+    lines = (tracker.run_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert any("val/dice" in ln for ln in lines)
+    assert any("train/total_loss" in ln for ln in lines)

@@ -1,0 +1,151 @@
+"""Tiled sliding-window inference: grid math, feathered blending, ensemble."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vaeunet_tpu.inference.predict import (predict_full_image, predict_image,
+                                           segmentation_distribution,
+                                           uncertainty_maps)
+from vaeunet_tpu.inference.tiled import (adaptive_overlap, compute_tile_grid,
+                                         predict_tiled_ensemble,
+                                         predict_with_patches,
+                                         tile_weight_masks)
+from vaeunet_tpu.models.vae_unet import UNetResNet
+
+
+def _reference_grid(h, w, patch_size, overlap):
+    """The reference's tile-coordinate loop (visualize_vae.py:253-288),
+    re-derived for cross-checking."""
+    stride = patch_size - overlap
+    n_h = math.ceil((h - overlap) / stride)
+    n_w = math.ceil((w - overlap) / stride)
+    out = []
+    for i in range(n_h):
+        for j in range(n_w):
+            sh, sw = i * stride, j * stride
+            if i == n_h - 1:
+                eh = h
+                sh = max(0, eh - patch_size)
+            else:
+                eh = min(sh + patch_size, h)
+            if j == n_w - 1:
+                ew = w
+                sw = max(0, ew - patch_size)
+            else:
+                ew = min(sw + patch_size, w)
+            out.append((sh, eh, sw, ew))
+    return out
+
+
+@pytest.mark.parametrize("h,w,p", [(1280, 1918, 512), (694, 694, 512),
+                                   (256, 384, 128), (96, 80, 64)])
+def test_grid_matches_reference(h, w, p):
+    ov = adaptive_overlap(p)
+    ref = _reference_grid(h, w, p, ov)
+    ours = compute_tile_grid(h, w, p, ov)
+    assert len(ours) == len(ref)
+    for (y, x), (sh, eh, sw, ew) in zip(ours, ref):
+        assert (y, x) == (sh, sw)
+        assert eh - sh == p and ew - sw == p  # static tile shapes
+
+
+def test_adaptive_overlap_clamps():
+    assert adaptive_overlap(512) == 102      # 0.2*512
+    assert adaptive_overlap(1024) == 128     # clamped high
+    assert adaptive_overlap(64) == 32        # clamped low
+
+
+def test_feathered_blend_of_constant_is_constant():
+    """If every tile predicts the same constant, the normalized blend must
+    return that constant everywhere (weights cancel)."""
+    h, w, p = 96, 128, 64
+    ov = adaptive_overlap(p)
+    grid = compute_tile_grid(h, w, p, ov)
+    weights = tile_weight_masks(h, w, p, ov)
+    assert weights.shape == (len(grid), p, p, 1)
+    from vaeunet_tpu.inference.tiled import _scatter_blend
+    preds = jnp.full((len(grid), p, p, 1), 0.7, jnp.float32)
+    out = _scatter_blend(preds, jnp.asarray(weights), grid, (h, w))
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-5)
+
+
+def test_blend_matches_numpy_reference_accumulation():
+    """Our on-device scatter-add == the reference's numpy-style loop with the
+    same ramps (visualize_vae.py:361-384,409)."""
+    h, w, p = 96, 128, 64
+    ov = adaptive_overlap(p)
+    grid = compute_tile_grid(h, w, p, ov)
+    weights = tile_weight_masks(h, w, p, ov)
+    rng = np.random.RandomState(0)
+    preds = rng.rand(len(grid), p, p, 1).astype(np.float32)
+
+    out_np = np.zeros((h, w, 1), np.float32)
+    wsum_np = np.zeros((h, w, 1), np.float32)
+    for t, (y, x) in enumerate(grid):
+        out_np[y:y + p, x:x + p] += preds[t] * weights[t]
+        wsum_np[y:y + p, x:x + p] += weights[t]
+    expected = out_np / (wsum_np + 1e-8)
+
+    from vaeunet_tpu.inference.tiled import _scatter_blend
+    ours = np.asarray(_scatter_blend(jnp.asarray(preds), jnp.asarray(weights),
+                                     grid, (h, w)))
+    np.testing.assert_allclose(ours, expected, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    model = UNetResNet(3, 1, latent_dim=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
+        x, train=False)
+    return model, variables
+
+
+def test_predict_with_patches_runs(tiny_vae):
+    model, variables = tiny_vae
+    image = jax.random.uniform(jax.random.PRNGKey(2), (96, 80, 3))
+    z = jnp.zeros((1, 8))
+    probs = predict_with_patches(model, variables, image, z, patch_size=64,
+                                 batch_size=2)
+    assert probs.shape == (96, 80, 1)
+    assert float(probs.min()) >= 0 and float(probs.max()) <= 1
+
+
+def test_ensemble_matches_per_sample(tiny_vae):
+    model, variables = tiny_vae
+    image = jax.random.uniform(jax.random.PRNGKey(3), (96, 80, 3))
+    zs = jax.random.normal(jax.random.PRNGKey(4), (3, 8))
+    ens = predict_tiled_ensemble(model, variables, image, zs, patch_size=64,
+                                 batch_size=2)
+    assert ens.shape == (3, 96, 80, 1)
+    for i in range(3):
+        single = predict_with_patches(model, variables, image, zs[i:i + 1],
+                                      patch_size=64, batch_size=2)
+        np.testing.assert_allclose(np.asarray(ens[i]), np.asarray(single),
+                                   atol=1e-5)
+
+
+def test_full_image_predict_and_distribution(tiny_vae):
+    model, variables = tiny_vae
+    image = jax.random.uniform(jax.random.PRNGKey(5), (64, 64, 3))
+    samples, mu, logvar = segmentation_distribution(
+        model, variables, image, jax.random.PRNGKey(6), num_samples=4,
+        temperature=1.0)
+    assert samples.shape == (4, 64, 64, 1)
+    assert mu.shape == (8,)
+    maps = uncertainty_maps(samples)
+    assert set(maps) == {"mean", "std", "entropy", "mutual_info", "cv"}
+    assert float(maps["entropy"].max()) <= math.log(2) + 1e-5
+    assert float(maps["std"].min()) >= 0
+    # deterministic model -> z=mu predict equals full-image predict with mu
+    probs_mu = predict_full_image(model, variables, image, mu[None])
+    probs2, mask = predict_image(model, variables, image)
+    np.testing.assert_allclose(np.asarray(probs_mu), np.asarray(probs2),
+                               atol=1e-5)
+    assert mask.dtype == bool

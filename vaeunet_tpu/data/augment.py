@@ -1,0 +1,338 @@
+"""On-device data augmentation, pure jnp (replaces albumentations).
+
+Rebuild of the reference train-split policy (utils/data_loading.py:116-180)
+as a single jit-able, vmap-able function driven by explicit PRNG keys — the
+TPU-native answer to the reference's 6 CPU DataLoader workers:
+
+  HFlip p=.5 | VFlip p=.5 | Rot90 p=.5
+  OneOf{CLAHE(clip 1.5-4, 8x8 tiles), RandomGamma(80,120)} p=.5
+  OneOf{BrightnessContrast(+-.1), ColorJitter(.1,.1,.1,0)} p=.3
+  Affine(scale .9-1.1, translate +-6.25%, rotate +-15deg, cval=0) p=.3
+  GaussNoise(per-channel) p=.2
+  OneOf{GaussianBlur(3-5), MotionBlur(3-5)} p=.2
+  GridDistortion(5 steps, +-.1, reflect101) p=.2
+
+Geometric transforms are applied to image and mask jointly (mask sampled
+nearest, matching albumentations' mask handling); photometric transforms
+touch the image only.  Everything is static-shaped and branchless (flags
+select between transformed and identity results), so XLA fuses the whole
+policy into the input pipeline.
+
+Images are float32 [H,W,3] in [0,1]; masks [H,W,1] {0,1}.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------- samplers
+
+def _grid_sample_bilinear(img, ys, xs, fill: float = 0.0, reflect: bool = False):
+    """Sample img [H,W,C] at float coords (ys, xs) [H,W]; out-of-bounds
+    either constant `fill` or reflect-101."""
+    h, w = img.shape[0], img.shape[1]
+    if reflect:
+        ys = _reflect101(ys, h)
+        xs = _reflect101(xs, w)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = (ys - y0)[..., None]
+    lx = (xs - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    out = ((1 - ly) * ((1 - lx) * v00 + lx * v01)
+           + ly * ((1 - lx) * v10 + lx * v11))
+    if not reflect:
+        inb = ((ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1))[..., None]
+        out = jnp.where(inb, out, fill)
+    return out
+
+
+def _grid_sample_nearest(img, ys, xs, fill: float = 0.0, reflect: bool = False):
+    h, w = img.shape[0], img.shape[1]
+    if reflect:
+        ys = _reflect101(ys, h)
+        xs = _reflect101(xs, w)
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
+    out = img[yi, xi]
+    if not reflect:
+        inb = ((ys >= -0.5) & (ys <= h - 0.5) & (xs >= -0.5) & (xs <= w - 0.5))[..., None]
+        out = jnp.where(inb, out, fill)
+    return out
+
+
+def _reflect101(coords, size):
+    """OpenCV BORDER_REFLECT_101 coordinate folding."""
+    period = 2 * (size - 1)
+    c = jnp.mod(jnp.abs(coords), period)
+    return jnp.where(c > size - 1, period - c, c)
+
+
+# ------------------------------------------------------------- geometric
+
+def _maybe_flips(key, img, mask):
+    k1, k2, k3 = jax.random.split(key, 3)
+    do_h = jax.random.bernoulli(k1)
+    do_v = jax.random.bernoulli(k2)
+    img = jnp.where(do_h, img[:, ::-1], img)
+    mask = jnp.where(do_h, mask[:, ::-1], mask)
+    img = jnp.where(do_v, img[::-1], img)
+    mask = jnp.where(do_v, mask[::-1], mask)
+    if img.shape[0] == img.shape[1]:  # rot90 preserves shape only if square
+        do_r = jax.random.bernoulli(k3)
+        k = jax.random.randint(jax.random.fold_in(k3, 1), (), 0, 4)
+        k = jnp.where(do_r, k, 0)
+
+        def rot(x):
+            return lax.switch(k, [lambda a: a,
+                                  lambda a: jnp.rot90(a, 1),
+                                  lambda a: jnp.rot90(a, 2),
+                                  lambda a: jnp.rot90(a, 3)], x)
+
+        img, mask = rot(img), rot(mask)
+    return img, mask
+
+
+def _affine(key, img, mask, p=0.3):
+    """Affine(scale .9-1.1, translate +-6.25%, rotate +-15deg, cval=0)."""
+    h, w = img.shape[0], img.shape[1]
+    ks = jax.random.split(key, 5)
+    apply = jax.random.bernoulli(ks[0], p)
+    scale = jax.random.uniform(ks[1], (), minval=0.9, maxval=1.1)
+    tx = jax.random.uniform(ks[2], (), minval=-0.0625, maxval=0.0625) * w
+    ty = jax.random.uniform(ks[3], (), minval=-0.0625, maxval=0.0625) * h
+    theta = jnp.deg2rad(jax.random.uniform(ks[4], (), minval=-15.0, maxval=15.0))
+
+    scale = jnp.where(apply, scale, 1.0)
+    tx = jnp.where(apply, tx, 0.0)
+    ty = jnp.where(apply, ty, 0.0)
+    theta = jnp.where(apply, theta, 0.0)
+
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # inverse map: dst -> src
+    inv = 1.0 / scale
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    dy = yy - cy - ty
+    dx = xx - cx - tx
+    src_y = (cos * dy + sin * dx) * inv + cy
+    src_x = (-sin * dy + cos * dx) * inv + cx
+    img = _grid_sample_bilinear(img, src_y, src_x, fill=0.0)
+    mask = _grid_sample_nearest(mask, src_y, src_x, fill=0.0)
+    return img, mask
+
+
+def _grid_distortion(key, img, mask, num_steps: int = 5, limit: float = 0.1,
+                     p: float = 0.2):
+    """GridDistortion: per-cell axis stretching, reflect-101 border."""
+    h, w = img.shape[0], img.shape[1]
+    k0, kx, ky = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k0, p)
+    sx = 1 + jax.random.uniform(kx, (num_steps + 1,), minval=-limit, maxval=limit)
+    sy = 1 + jax.random.uniform(ky, (num_steps + 1,), minval=-limit, maxval=limit)
+    sx = jnp.where(apply, sx, jnp.ones_like(sx))
+    sy = jnp.where(apply, sy, jnp.ones_like(sy))
+
+    def axis_map(size, steps):
+        """Forward piecewise-linear map of grid boundaries -> per-pixel
+        source coordinate via inversion (albumentations builds the forward
+        map then remaps; equivalent result)."""
+        step = size // num_steps
+        widths = jnp.full((num_steps,), step, jnp.float32) * steps[:num_steps]
+        # forward positions of cell boundaries
+        bounds = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(widths)])
+        bounds = bounds * ((size - 1) / jnp.maximum(bounds[-1], 1e-6))
+        # invert: for each output pixel find source coord
+        src_cell = jnp.linspace(0, size - 1, num_steps + 1)
+        out_pix = jnp.arange(size, dtype=jnp.float32)
+        idx = jnp.clip(jnp.searchsorted(bounds, out_pix, side="right") - 1,
+                       0, num_steps - 1)
+        b0 = bounds[idx]
+        b1 = bounds[idx + 1]
+        frac = (out_pix - b0) / jnp.maximum(b1 - b0, 1e-6)
+        return src_cell[idx] + frac * (src_cell[idx + 1] - src_cell[idx])
+
+    map_y = axis_map(h, sy)
+    map_x = axis_map(w, sx)
+    ys = jnp.broadcast_to(map_y[:, None], (h, w))
+    xs = jnp.broadcast_to(map_x[None, :], (h, w))
+    img = _grid_sample_bilinear(img, ys, xs, reflect=True)
+    mask = _grid_sample_nearest(mask, ys, xs, reflect=True)
+    return img, mask
+
+
+# ------------------------------------------------------------ photometric
+
+def _clahe(img, clip_limit, tiles: int = 8, bins: int = 256):
+    """Contrast-limited adaptive histogram equalization on the luma channel,
+    fixed 8x8 tile grid, fully vectorized (histograms via one-hot matmul —
+    MXU work, not a scatter)."""
+    h, w = img.shape[0], img.shape[1]
+    # pad to a multiple of the tile grid
+    th, tw = -(-h // tiles), -(-w // tiles)
+    ph, pw = th * tiles - h, tw * tiles - w
+    lum = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    lum_p = jnp.pad(lum, ((0, ph), (0, pw)), mode="edge")
+    q = jnp.clip((lum_p * (bins - 1)).astype(jnp.int32), 0, bins - 1)
+    tiles_q = q.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
+    tiles_q = tiles_q.reshape(tiles * tiles, th * tw)
+    onehot = jax.nn.one_hot(tiles_q, bins, dtype=jnp.float32)
+    hist = jnp.sum(onehot, axis=1)                      # [T, bins]
+    # clip + redistribute
+    clip = clip_limit * (th * tw) / bins
+    excess = jnp.sum(jnp.maximum(hist - clip, 0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, clip) + excess / bins
+    cdf = jnp.cumsum(hist, axis=1)
+    cdf = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1e-6)
+    lut = cdf.reshape(tiles, tiles, bins)               # [ty, tx, bins]
+
+    # bilinear interpolation between tile-center LUTs
+    yy = (jnp.arange(h) + 0.5) / th - 0.5
+    xx = (jnp.arange(w) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, tiles - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, tiles - 1)
+    y1 = jnp.minimum(y0 + 1, tiles - 1)
+    x1 = jnp.minimum(x0 + 1, tiles - 1)
+    fy = jnp.clip(yy - y0, 0, 1)[:, None]
+    fx = jnp.clip(xx - x0, 0, 1)[None, :]
+    qhw = jnp.clip((lum * (bins - 1)).astype(jnp.int32), 0, bins - 1)
+    v00 = lut[y0[:, None], x0[None, :], qhw]
+    v01 = lut[y0[:, None], x1[None, :], qhw]
+    v10 = lut[y1[:, None], x0[None, :], qhw]
+    v11 = lut[y1[:, None], x1[None, :], qhw]
+    new_lum = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+               + fy * ((1 - fx) * v10 + fx * v11))
+    ratio = new_lum / jnp.maximum(lum, 1e-6)
+    return jnp.clip(img * ratio[..., None], 0.0, 1.0)
+
+
+def _contrast_group(key, img, p=0.5):
+    """OneOf{CLAHE, RandomGamma}."""
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(k0, p)
+    use_clahe = jax.random.bernoulli(k1)
+    clip = jax.random.uniform(k2, (), minval=1.5, maxval=4.0)
+    gamma = jax.random.uniform(k3, (), minval=0.8, maxval=1.2)
+    clahe_img = _clahe(img, clip)
+    gamma_img = jnp.power(jnp.maximum(img, 1e-8), gamma)
+    out = jnp.where(use_clahe, clahe_img, gamma_img)
+    return jnp.where(apply, out, img)
+
+
+def _color_group(key, img, p=0.3):
+    """OneOf{RandomBrightnessContrast(.1,.1), ColorJitter(.1,.1,.1,0)}."""
+    ks = jax.random.split(key, 7)
+    apply = jax.random.bernoulli(ks[0], p)
+    use_bc = jax.random.bernoulli(ks[1])
+    # brightness/contrast: img*(1+alpha) + beta (brightness_by_max, max=1)
+    alpha = jax.random.uniform(ks[2], (), minval=-0.1, maxval=0.1)
+    beta = jax.random.uniform(ks[3], (), minval=-0.1, maxval=0.1)
+    bc = jnp.clip(img * (1 + alpha) + beta, 0, 1)
+    # color jitter (torchvision-style factors)
+    b = jax.random.uniform(ks[4], (), minval=0.9, maxval=1.1)
+    c = jax.random.uniform(ks[5], (), minval=0.9, maxval=1.1)
+    s = jax.random.uniform(ks[6], (), minval=0.9, maxval=1.1)
+    cj = jnp.clip(img * b, 0, 1)
+    mean_gray = jnp.mean(0.299 * cj[..., 0] + 0.587 * cj[..., 1] + 0.114 * cj[..., 2])
+    cj = jnp.clip(mean_gray + (cj - mean_gray) * c, 0, 1)
+    gray = (0.299 * cj[..., 0] + 0.587 * cj[..., 1] + 0.114 * cj[..., 2])[..., None]
+    cj = jnp.clip(gray + (cj - gray) * s, 0, 1)
+    out = jnp.where(use_bc, bc, cj)
+    return jnp.where(apply, out, img)
+
+
+def _gauss_noise(key, img, p=0.2):
+    k0, k1, k2 = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k0, p)
+    var = jax.random.uniform(k1, (), minval=10.0, maxval=50.0)  # 0-255 scale
+    std = jnp.sqrt(var) / 255.0
+    noise = jax.random.normal(k2, img.shape) * std
+    return jnp.where(apply, jnp.clip(img + noise, 0, 1), img)
+
+
+def _gaussian_kernel1d(size: int, sigma) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2
+    k = jnp.exp(-0.5 * jnp.square(x / sigma))
+    return k / jnp.sum(k)
+
+
+def _depthwise_blur(img, kernel2d):
+    """[H,W,C] conv with a shared 2D kernel, reflect padding."""
+    c = img.shape[-1]
+    k = kernel2d[:, :, None, None] * jnp.ones((1, 1, 1, c))
+    pad = kernel2d.shape[0] // 2
+    x = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    return lax.conv_general_dilated(
+        x[None], k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)[0]
+
+
+def _blur_group(key, img, p=0.2):
+    """OneOf{GaussianBlur(3-5), MotionBlur(3-5)}; 5x5 kernels with the 3x3
+    case embedded (zero-padded) for a single static conv shape."""
+    ks = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(ks[0], p)
+    use_gauss = jax.random.bernoulli(ks[1])
+    use5 = jax.random.bernoulli(ks[2])
+
+    sigma3 = 0.3 * ((3 - 1) * 0.5 - 1) + 0.8   # cv2 default sigma rule
+    sigma5 = 0.3 * ((5 - 1) * 0.5 - 1) + 0.8
+    g3 = _gaussian_kernel1d(3, sigma3)
+    g5 = _gaussian_kernel1d(5, sigma5)
+    g3p = jnp.pad(g3, (1, 1))
+    k1d = jnp.where(use5, g5, g3p)
+    gauss_k = jnp.outer(k1d, k1d)
+
+    # motion blur: a line through the center in one of 4 directions
+    direction = jax.random.randint(ks[3], (), 0, 4)
+    size = jnp.where(use5, 5, 3)
+    yy, xx = jnp.mgrid[0:5, 0:5]
+    inside = (jnp.abs(yy - 2) <= (size - 1) // 2) & (jnp.abs(xx - 2) <= (size - 1) // 2)
+    lines = jnp.stack([
+        (yy == 2) & inside,              # horizontal
+        (xx == 2) & inside,              # vertical
+        (yy == xx) & inside,             # diag
+        (yy == 4 - xx) & inside,         # anti-diag
+    ]).astype(jnp.float32)
+    motion_k = lines[direction]
+    motion_k = motion_k / jnp.sum(motion_k)
+
+    kern = jnp.where(use_gauss, gauss_k, motion_k)
+    blurred = _depthwise_blur(img, kern)
+    return jnp.where(apply, blurred, img)
+
+
+# ------------------------------------------------------------------ policy
+
+def augment_sample(key, img, mask):
+    """Full reference train policy on one (image, mask) sample."""
+    keys = jax.random.split(key, 7)
+    img, mask = _maybe_flips(keys[0], img, mask)
+    img = _contrast_group(keys[1], img)
+    img = _color_group(keys[2], img)
+    img, mask = _affine(keys[3], img, mask)
+    img = _gauss_noise(keys[4], img)
+    img = _blur_group(keys[5], img)
+    img, mask = _grid_distortion(keys[6], img, mask)
+    return img, mask
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2))
+def augment_batch(key, images, masks):
+    """vmap'd policy over a batch: [B,H,W,3], [B,H,W,1] -> same shapes."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(augment_sample)(keys, images, masks)

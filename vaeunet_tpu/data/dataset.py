@@ -1,0 +1,311 @@
+"""IDRiD dataset: decode, scale, fundus-crop / patch extraction, caching.
+
+Rebuild of reference ``utils/data_loading.py`` (IDRIDDataset) with the same
+observable behavior and two deliberate fixes:
+
+- **Deterministic, reusable cache.** The reference deletes and rebuilds its
+  patch cache on every construction (data_loading.py:96-100, SURVEY.md
+  section 2.4-7).  Here each image's preprocessed arrays are written once to
+  ``<base>/patches_tpu/<key>/`` keyed by the preprocessing config, and
+  patches are *views* into them (the reference writes every 50%-overlap
+  patch to disk separately — 2-4x redundant IO).
+- **uint8 storage.** PIL resize returns uint8; the /255 float conversion
+  (data_loading.py:599) happens at batch-assembly time, so the cache is 4x
+  smaller with bit-identical results.  (Full-image mode caches float32, as
+  its torch-style resize produces fractional values — data_loading.py:515-529.)
+
+Behavior kept for parity:
+- preprocess: BICUBIC (image) / NEAREST (mask) PIL resize, mask binarized
+  >0  (data_loading.py:580-601)
+- full-image mode: 95th-percentile fundus diameter x scale as the square
+  size (data_loading.py:209-214), fundus-centered square crop with edge
+  clamping, bilinear(align_corners=False)/nearest resize
+- patch mode: stride = patch_size//2, black-border filter (threshold 0.1,
+  0.5 for test; mean-channel < 0.1 counts as black), train-split pos/neg
+  balancing to equal counts (data_loading.py:287-300,370-397,415-432)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from vaeunet_tpu.data.fundus import crop_square_bounds, detect_fundus
+
+log = logging.getLogger(__name__)
+
+
+def load_image(filename) -> Image.Image:
+    """Force RGB (reference data_loading.py:18-28)."""
+    img = Image.open(filename)
+    return img.convert("RGB")
+
+
+def preprocess_pil(pil_img: Image.Image, scale: float, is_mask: bool) -> np.ndarray:
+    """Resize + convert, matching data_loading.py:580-601.
+    Returns HWC uint8 for images, HW float32 {0,1} for masks."""
+    w, h = pil_img.size
+    new_w, new_h = int(scale * w), int(scale * h)
+    if new_w < 1 or new_h < 1:
+        raise ValueError(f"Image scaled too small => {new_w}x{new_h}")
+    pil_img = pil_img.resize((new_w, new_h),
+                             resample=Image.NEAREST if is_mask else Image.BICUBIC)
+    arr = np.array(pil_img)
+    if is_mask:
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        return (arr > 0).astype(np.float32)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr  # HWC uint8; /255 deferred to batch assembly
+
+
+def _resize_bilinear_np(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """align_corners=False bilinear on HWC float (crop_to_fundus resize,
+    data_loading.py:518-523)."""
+    ih, iw = x.shape[:2]
+    oh, ow = out_hw
+
+    def coords(i, o):
+        c = (np.arange(o, dtype=np.float32) + 0.5) * (i / o) - 0.5
+        return np.maximum(c, 0.0)
+
+    cw = coords(iw, ow)
+    i0 = np.clip(np.floor(cw).astype(np.int64), 0, iw - 1)
+    i1 = np.minimum(i0 + 1, iw - 1)
+    lw = (cw - i0).astype(np.float32)[None, :, None]
+    x = x[:, i0] * (1 - lw) + x[:, i1] * lw
+    ch = coords(ih, oh)
+    j0 = np.clip(np.floor(ch).astype(np.int64), 0, ih - 1)
+    j1 = np.minimum(j0 + 1, ih - 1)
+    lh = (ch - j0).astype(np.float32)[:, None, None]
+    return x[j0] * (1 - lh) + x[j1] * lh
+
+
+def _resize_nearest_np(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    ih, iw = x.shape[:2]
+    oh, ow = out_hw
+    ii = np.floor(np.arange(oh) * (ih / oh)).astype(np.int64).clip(0, ih - 1)
+    jj = np.floor(np.arange(ow) * (iw / ow)).astype(np.int64).clip(0, iw - 1)
+    return x[ii][:, jj]
+
+
+class IDRIDDataset:
+    """Loads fundus JPGs + per-lesion TIF masks and serves patch samples.
+
+    Samples are dicts {'image': HWC float32 in [0,1], 'mask': HW1 float32,
+    'img_id': str} — the NHWC analogue of the reference's CHW samples
+    (data_loading.py:603-633).
+    """
+
+    def __init__(self, base_dir: str, split: str = "train", scale: float = 0.25,
+                 patch_size: Optional[int] = None, lesion_type: str = "EX",
+                 max_images: Optional[int] = None,
+                 skip_border_check: bool = False,
+                 cache_dir: Optional[str] = None,
+                 balance_seed: Optional[int] = None):
+        self.base_dir = Path(base_dir)
+        self.split = split
+        self.scale = scale
+        self.lesion_type = lesion_type
+        self.skip_border_check = skip_border_check
+        self.is_full_image = patch_size is None
+        self.balance_seed = balance_seed
+
+        self.images_dir = self.base_dir / "imgs" / split
+        self.masks_dir = self.base_dir / "masks" / split
+
+        ids = sorted(
+            f[:-4] for f in os.listdir(self.images_dir) if f.endswith(".jpg"))
+        if max_images is not None:
+            ids = ids[:max_images]
+        self.ids = [
+            i for i in ids
+            if (self.masks_dir / lesion_type / f"{i}_{lesion_type}.tif").exists()
+        ]
+        if not self.ids:
+            raise RuntimeError(
+                f"No valid image-mask pairs in {self.images_dir} / {self.masks_dir}")
+        log.info("Found %d valid image-mask pairs", len(self.ids))
+
+        if self.is_full_image:
+            self.patch_size = self._find_full_image_size()
+        else:
+            self.patch_size = patch_size
+        self.stride = self.patch_size // 2 if not self.is_full_image else self.patch_size
+
+        cache_root = Path(cache_dir) if cache_dir else (self.base_dir / "patches_tpu")
+        self.cache_dir = cache_root / self._cache_key()
+        self._build_or_load_cache()
+        self._build_index()
+
+    # -- cache -------------------------------------------------------------
+
+    def _cache_key(self) -> str:
+        spec = dict(split=self.split, scale=self.scale,
+                    patch=self.patch_size if self.is_full_image else "raw",
+                    full=self.is_full_image, lesion=self.lesion_type,
+                    ids=self.ids, v=2)
+        h = hashlib.sha1(json.dumps(spec, sort_keys=True).encode()).hexdigest()[:12]
+        mode = f"full{self.patch_size}" if self.is_full_image else "scaled"
+        return f"{self.split}_{self.lesion_type}_{mode}_{h}"
+
+    def _find_full_image_size(self) -> int:
+        """95th-percentile fundus diameter x scale (data_loading.py:182-221)."""
+        diameters = []
+        for img_id in self.ids:
+            try:
+                with Image.open(self.images_dir / f"{img_id}.jpg") as img:
+                    d, _ = detect_fundus(np.array(img))
+                if d is not None:
+                    diameters.append(float(d))
+            except Exception as e:
+                log.warning("Couldn't process %s: %s", img_id, e)
+        if diameters:
+            size = int(np.percentile(diameters, 95) * self.scale)
+            log.info("Typical fundus diameter (95th pct): %d", size)
+            return size
+        log.warning("No fundus diameters detected, using fallback size 694")
+        return 694
+
+    def _build_or_load_cache(self):
+        meta_path = self.cache_dir / "meta.json"
+        if meta_path.exists():
+            self.meta = json.loads(meta_path.read_text())
+            return
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        meta: Dict[str, Dict] = {}
+        for img_id in self.ids:
+            img = load_image(self.images_dir / f"{img_id}.jpg")
+            mask = Image.open(
+                self.masks_dir / self.lesion_type / f"{img_id}_{self.lesion_type}.tif"
+            ).convert("L")
+            if img.size != mask.size:
+                log.warning("Size mismatch for %s; skipping", img_id)
+                continue
+            img_arr = preprocess_pil(img, self.scale, is_mask=False)   # HWC u8
+            mask_arr = preprocess_pil(mask, self.scale, is_mask=True)  # HW f32
+
+            if self.is_full_image:
+                d, center = detect_fundus(img_arr)
+                h, w = img_arr.shape[:2]
+                if d is None:
+                    d, center = float(min(h, w)), (w // 2, h // 2)
+                t, b, l, r = crop_square_bounds(h, w, center, d)
+                ci = img_arr[t:b, l:r].astype(np.float32) / 255.0
+                cm = mask_arr[t:b, l:r]
+                if ci.shape[0] != self.patch_size:
+                    ci = _resize_bilinear_np(ci, (self.patch_size, self.patch_size))
+                    cm = _resize_nearest_np(cm, (self.patch_size, self.patch_size))
+                np.savez(self.cache_dir / f"{img_id}.npz",
+                         image_f32=ci.astype(np.float32),
+                         mask=(cm > 0.5).astype(np.uint8))
+                meta[img_id] = {"h": int(ci.shape[0]), "w": int(ci.shape[1]),
+                                "full": True,
+                                "has_lesion": bool((mask_arr > 0.5).any())}
+            else:
+                np.savez(self.cache_dir / f"{img_id}.npz",
+                         image_u8=img_arr,
+                         mask=(mask_arr > 0.5).astype(np.uint8))
+                meta[img_id] = {"h": int(img_arr.shape[0]),
+                                "w": int(img_arr.shape[1]), "full": False}
+        self.meta = meta
+        meta_path.write_text(json.dumps(meta))
+
+    # -- patch index ---------------------------------------------------------
+
+    def _image_arrays(self, img_id: str) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (image HWC float32 in [0,1], mask HW float32 {0,1})."""
+        z = np.load(self.cache_dir / f"{img_id}.npz")
+        if "image_f32" in z:
+            return z["image_f32"], z["mask"].astype(np.float32)
+        return z["image_u8"].astype(np.float32) / 255.0, z["mask"].astype(np.float32)
+
+    def _build_index(self):
+        """Enumerate (img_id, y, x, has_lesion) patch records with border
+        filtering and train-split balancing (data_loading.py:302-446)."""
+        self._cache_arrays: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        positives: List[Tuple[str, int, int]] = []
+        negatives: List[Tuple[str, int, int]] = []
+        records: List[Tuple[str, int, int, bool]] = []
+
+        threshold = 0.5 if self.split == "test" else 0.1
+
+        for img_id, m in self.meta.items():
+            if self.is_full_image:
+                records.append((img_id, 0, 0, bool(m.get("has_lesion", False))))
+                continue
+            h, w = m["h"], m["w"]
+            if h < self.patch_size or w < self.patch_size:
+                log.warning("%s: %dx%d < patch_size=%d; skipping",
+                            img_id, h, w, self.patch_size)
+                continue
+            img, mask = self._image_arrays(img_id)
+            stride = self.patch_size // 2
+            for y in range(0, h - self.patch_size + 1, stride):
+                for x in range(0, w - self.patch_size + 1, stride):
+                    ip = img[y:y + self.patch_size, x:x + self.patch_size]
+                    if not self.skip_border_check:
+                        black = (ip.mean(axis=-1) < 0.1).mean()
+                        if black > threshold:
+                            continue
+                    mp = mask[y:y + self.patch_size, x:x + self.patch_size]
+                    if (mp > 0.5).any():
+                        positives.append((img_id, y, x))
+                    else:
+                        negatives.append((img_id, y, x))
+
+        if not self.is_full_image:
+            if self.split == "train":
+                rng = random.Random(self.balance_seed)
+                rng.shuffle(negatives)
+                negatives = negatives[:len(positives)]
+            records = ([(i, y, x, True) for i, y, x in positives]
+                       + [(i, y, x, False) for i, y, x in negatives])
+            if self.split == "test" and not records:
+                records = [(i, y, x, False) for i, y, x in negatives[:10]]
+        self.patch_index = records
+        log.info("%s/%s: %d patches (%d positive)", self.split, self.lesion_type,
+                 len(records), sum(1 for r in records if r[3]))
+
+    # -- access ----------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.patch_index)
+
+    def __getitem__(self, idx: int) -> Dict:
+        img_id, y, x, has_lesion = self.patch_index[idx]
+        if img_id not in self._cache_arrays:
+            if len(self._cache_arrays) > 16:  # bounded host RAM
+                self._cache_arrays.clear()
+            self._cache_arrays[img_id] = self._image_arrays(img_id)
+        img, mask = self._cache_arrays[img_id]
+        if not self.is_full_image:
+            img = img[y:y + self.patch_size, x:x + self.patch_size]
+            mask = mask[y:y + self.patch_size, x:x + self.patch_size]
+        return {"image": np.ascontiguousarray(img),
+                "mask": np.ascontiguousarray(mask)[..., None],
+                "img_id": img_id, "coords": (y, x),
+                "has_lesion": has_lesion}
+
+    def unique_image_ids(self) -> List[str]:
+        seen = []
+        for img_id, *_ in self.patch_index:
+            if img_id not in seen:
+                seen.append(img_id)
+        return seen
+
+    def get_image_and_mask(self, img_id: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Full preprocessed image + mask for an id (the analysis CLIs'
+        stitching source, visualize_vae.py:479-575 — here the unpatched
+        arrays are cached, so no feathered re-stitching is needed)."""
+        img, mask = self._image_arrays(img_id)
+        return img, mask[..., None]

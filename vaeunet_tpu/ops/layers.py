@@ -66,6 +66,9 @@ class Conv(nn.Module):
         kernel_shape = (k, k, in_features // self.feature_group_count, self.features)
         kernel = self.param("kernel", torch_conv_kernel_init, kernel_shape)
         dtype = self.dtype or x.dtype
+        # NB: no preferred_element_type here — the TPU MXU already
+        # accumulates bf16 convs in fp32, and setting it breaks the VJP
+        # (fp32 cotangent vs bf16 kernel in the transpose conv).
         y = lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
@@ -73,7 +76,6 @@ class Conv(nn.Module):
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,
         )
         if self.use_bias:
             fan_in = k * k * (in_features // self.feature_group_count)
@@ -147,7 +149,10 @@ class BatchNorm(nn.Module):
             x32 = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x32, axis=axes)
-            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            # two-pass variance: E[(x-mean)^2].  The one-pass E[x^2]-mean^2
+            # form can round to a small negative for near-constant channels
+            # (dead ReLUs), making rsqrt produce NaN.
+            var = jnp.mean(jnp.square(x32 - mean), axis=axes)
             n = x.size // self.features
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))

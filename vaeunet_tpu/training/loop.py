@@ -1,0 +1,215 @@
+"""Training orchestration — rebuild of reference ``train.py:163-621`` and
+``evaluate.py:20-101``.
+
+Control flow kept for parity:
+- KL-annealed beta per epoch (train.py:374)
+- twice-per-epoch validation (mid + end, train.py:436)
+- ReduceLROnPlateau on validation dice (train.py:504-506)
+- best-dice checkpointing with full state + hyperparameter-encoded dir
+  (train.py:509-568) — plus *true resume* the reference lacks
+- early stopping counted per validation (train.py:570-579)
+- latent posterior-collapse stats each epoch (train.py:588-612)
+
+TPU-native differences:
+- one jit'd train step (grad-accum scanned inside), on-device augmentation
+- no GradScaler / autocast dance: bf16 activations, fp32 params & loss
+- no CUDA-OOM retry loop: memory is static at trace time; `use_remat` is the
+  ahead-of-time lever (SURVEY.md section 5, failure-detection row)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaeunet_tpu.data.augment import augment_batch
+from vaeunet_tpu.data.dataset import IDRIDDataset
+from vaeunet_tpu.data.loader import Loader
+from vaeunet_tpu.losses import KLAnnealer
+from vaeunet_tpu.training.checkpoint import save_checkpoint
+from vaeunet_tpu.training.config import TrainConfig
+from vaeunet_tpu.training.schedule import ReduceLROnPlateau
+from vaeunet_tpu.training.state import (TrainState, create_train_state,
+                                        get_learning_rate, set_learning_rate)
+from vaeunet_tpu.training.step import make_eval_step, make_train_step
+from vaeunet_tpu.utils.tracking import Tracker
+from vaeunet_tpu.vae_utils import calculate_latent_stats
+
+log = logging.getLogger(__name__)
+
+
+def evaluate_model(eval_step, variables, loader: Loader, rng,
+                   max_samples: int = 4) -> Tuple[Dict[str, float], List]:
+    """Average metrics over batches + collect <=max_samples visualization
+    triples (image, pred_probs, mask).  (evaluate.py:20-101)"""
+    sums: Dict[str, float] = {}
+    n_batches = 0
+    samples = []
+    for batch in loader:
+        rng, sub = jax.random.split(rng)
+        metrics, logits = eval_step(variables, jnp.asarray(batch["image"]),
+                                    jnp.asarray(batch["mask"]), sub)
+        n_batches += 1
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        if len(samples) < max_samples:
+            probs = jax.nn.sigmoid(logits)
+            take = min(max_samples - len(samples), int(batch["count"]))
+            for i in range(take):
+                samples.append((np.asarray(batch["image"][i]),
+                                np.asarray(probs[i]),
+                                np.asarray(batch["mask"][i]),
+                                batch["img_id"][i]))
+    if n_batches == 0:
+        return {}, []
+    return {k: v / n_batches for k, v in sums.items()}, samples
+
+
+def train_model(config: TrainConfig,
+                variables: Optional[Dict[str, Any]] = None,
+                tracker: Optional[Tracker] = None,
+                train_dataset=None, val_dataset=None,
+                train_step=None, eval_step=None,
+                place_batch=None) -> TrainState:
+    rng = jax.random.PRNGKey(config.seed)
+
+    train_dataset = train_dataset or IDRIDDataset(
+        config.data_dir, split="train", scale=config.img_scale,
+        patch_size=config.patch_size, lesion_type=config.lesion_type,
+        max_images=config.max_images, balance_seed=config.seed)
+    val_dataset = val_dataset or IDRIDDataset(
+        config.data_dir, split="val", scale=config.img_scale,
+        patch_size=config.patch_size, lesion_type=config.lesion_type,
+        max_images=config.max_images)
+    if len(train_dataset) == 0 or len(val_dataset) == 0:
+        raise RuntimeError(f"Empty dataset for lesion type {config.lesion_type}")
+
+    log.info("Dataset sizes: train=%d val=%d", len(train_dataset), len(val_dataset))
+
+    eff_batch = config.batch_size * max(1, config.gradient_accumulation_steps)
+    train_loader = Loader(train_dataset, eff_batch, shuffle=True,
+                          seed=config.seed)
+    val_loader = Loader(val_dataset, config.batch_size, shuffle=False,
+                        drop_last=False)
+    if len(train_loader) == 0:
+        raise RuntimeError(
+            f"Train set smaller than effective batch ({eff_batch})")
+
+    tracker = tracker or Tracker(config=dict(
+        epochs=config.epochs, batch_size=config.batch_size,
+        learning_rate=config.learning_rate, img_scale=config.img_scale,
+        amp=config.amp, patch_size=config.patch_size, classes=config.n_classes,
+        lesion_type=config.lesion_type, backbone=config.backbone,
+        pretrained=config.pretrained, seed=config.seed))
+
+    hw = (train_dataset.patch_size, train_dataset.patch_size)
+    state_rng, aug_rng, eval_rng, rng = jax.random.split(rng, 4)
+    state = create_train_state(config, state_rng, hw, variables=variables)
+    train_step = train_step or make_train_step(config)
+    eval_step = eval_step or make_eval_step(config)
+
+    annealer = KLAnnealer(kl_start=0.0, kl_end=config.beta,
+                          warmup_epochs=config.kl_anneal_epochs)
+    scheduler = ReduceLROnPlateau.for_lesion(config.lesion_type)
+    is_vae = config.model_type == "resnet"
+
+    best_val_score = float("-inf")
+    no_improvement = 0
+    global_step = 0
+    run_dir = config.checkpoint_path()
+    t_start = time.time()
+
+    def validate(state, point: str, epoch: int):
+        nonlocal best_val_score, no_improvement, eval_rng
+        eval_rng, sub = jax.random.split(eval_rng)
+        val_metrics, val_samples = evaluate_model(
+            eval_step, state.variables(), val_loader, sub, max_samples=4)
+        val_score = val_metrics.get("dice", 0.0)
+        lr = get_learning_rate(state)
+        new_lr = scheduler.step(val_score, lr)
+        if new_lr != lr:
+            log.info("Reducing lr %g -> %g", lr, new_lr)
+            state = set_learning_rate(state, new_lr)
+        tracker.log({**{f"val/{k}": v for k, v in val_metrics.items()},
+                     "learning_rate": new_lr, "epoch": epoch,
+                     "step": global_step})
+        for i, (img, probs, mask, img_id) in enumerate(val_samples):
+            vis = img
+            vis = (vis - vis.min()) / (vis.max() - vis.min() + 1e-8)
+            tracker.log_image(
+                f"step_{global_step}_sample_{i}", vis,
+                masks={"predictions": (probs[..., 0] > 0.5).astype(np.uint8),
+                       "ground_truth": (mask[..., 0] > 0.5).astype(np.uint8)})
+        improved = val_score > best_val_score
+        if improved:
+            best_val_score = val_score
+            no_improvement = 0
+            if config.save_checkpoint:
+                save_checkpoint(run_dir, state, config, host_state={
+                    "epoch": epoch, "global_step": global_step,
+                    "best_val_score": best_val_score,
+                    "scheduler": scheduler.state_dict(),
+                    "no_improvement": no_improvement,
+                }, name="best")
+                log.info("New best model (dice %.4f) saved to %s",
+                         val_score, run_dir)
+        else:
+            no_improvement += 1
+        return state, no_improvement >= config.early_stopping_patience
+
+    for epoch in range(1, config.epochs + 1):
+        beta = annealer.get_weight(epoch)
+        log.info("Epoch %d: KL weight (beta) %.6f", epoch, beta)
+        epoch_mu, epoch_logvar = [], []
+        steps_per_epoch = len(train_loader)
+        for batch_idx, batch in enumerate(train_loader):
+            images = jnp.asarray(batch["image"])
+            masks = jnp.asarray(batch["mask"])
+            aug_rng, sub = jax.random.split(aug_rng)
+            images, masks = augment_batch(sub, images, masks)
+            if place_batch is not None:
+                images, masks = place_batch(images, masks)
+            state, aux = train_step(state, images, masks, jnp.float32(beta))
+            global_step += 1
+            if batch_idx % 5 == 0 and is_vae:
+                epoch_mu.append(np.asarray(aux["mu"]))
+                epoch_logvar.append(np.asarray(aux["logvar"]))
+            tracker.log({
+                "train/total_loss": float(aux["loss"]),
+                "train/kl_loss": float(aux["kl_loss"]),
+                "train/kl_weight": beta,
+                "train/reconstruction_loss": float(aux["recon_loss"]),
+                "step": global_step, "epoch": epoch,
+            }, step=global_step)
+
+            current = batch_idx + 1
+            if current == steps_per_epoch // 2 or current == steps_per_epoch:
+                point = "mid" if current == steps_per_epoch // 2 else "end"
+                log.info("Running %s-epoch validation (epoch %d, step %d/%d)",
+                         point, epoch, current, steps_per_epoch)
+                state, stop = validate(state, point, epoch)
+                if stop:
+                    log.info("Early stopping triggered after %d epochs", epoch)
+                    tracker.finish(early_stopped=True, final_epoch=epoch)
+                    return state
+
+        if epoch_mu:
+            stats = calculate_latent_stats(
+                jnp.asarray(np.concatenate(epoch_mu)),
+                jnp.asarray(np.concatenate(epoch_logvar)))
+            stats = {k: float(v) for k, v in stats.items()}
+            tracker.log({f"latent/{k}": v for k, v in stats.items()
+                         if k != "total_dims"} | {"epoch": epoch})
+            log.info("Latent stats: active %d/%d (%.2f), total KL %.4f",
+                     int(stats["active_dims"]), int(stats["total_dims"]),
+                     stats["activity_ratio"], stats["total_kl"])
+
+    log.info("Training done in %.1fs (best dice %.4f)",
+             time.time() - t_start, best_val_score)
+    tracker.finish()
+    return state

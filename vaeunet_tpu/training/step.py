@@ -1,0 +1,179 @@
+"""The jit'd train/eval steps — the hot path.
+
+Rebuild of the reference inner loop (train.py:368-428) as a single compiled
+XLA program per step:
+
+- forward (+ BN batch-stat update) -> Dice+BCE (+focal) + beta*KL(free bits)
+- gradient accumulation as a ``lax.scan`` over microbatches
+  (train.py:400-411's Python-level accumulation, compiled)
+- global-norm clip 1.0 + AdamW update (train.py:406-411)
+- bf16 mixed precision by casting activations; params, BN stats and loss
+  math stay fp32.  No GradScaler needed — bf16 has fp32's exponent range
+  (replaces train.py:343's fp16 AMP machinery).
+
+`beta` (the annealed KL weight) is a traced scalar argument so the host-side
+KLAnnealer never triggers recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vaeunet_tpu.losses import kl_with_free_bits, make_criterion
+from vaeunet_tpu.metrics import get_all_metrics
+from vaeunet_tpu.models.vae_unet import UNetResNet
+from vaeunet_tpu.ops.resize import resize_bilinear
+from vaeunet_tpu.training.config import TrainConfig
+from vaeunet_tpu.training.state import TrainState, build_model, make_optimizer
+
+
+def _forward_loss(model, criterion, config: TrainConfig, params, batch_stats,
+                  images, masks, rng, beta):
+    variables = {"params": params, "batch_stats": batch_stats}
+    is_vae = isinstance(model, UNetResNet)
+    if config.amp:
+        images = images.astype(jnp.bfloat16)
+    if is_vae:
+        (logits, mu, logvar), mutated = model.apply(
+            variables, images, train=True, rngs={"latent": rng},
+            mutable=["batch_stats"])
+    else:
+        logits, mutated = model.apply(variables, images, train=True,
+                                      mutable=["batch_stats"])
+        mu = jnp.zeros((images.shape[0], 1), jnp.float32)
+        logvar = jnp.zeros((images.shape[0], 1), jnp.float32)
+    logits = logits.astype(jnp.float32)
+    recon = criterion(logits, masks)
+    kl = kl_with_free_bits(mu, logvar, free_bits=config.free_bits) if is_vae else jnp.zeros(())
+    loss = recon + beta * kl
+    aux = {"loss": loss, "recon_loss": recon, "kl_loss": kl,
+           "mu": mu.astype(jnp.float32), "logvar": logvar.astype(jnp.float32)}
+    return loss, (mutated["batch_stats"], aux)
+
+
+def make_train_step(config: TrainConfig, model=None,
+                    criterion: Optional[Callable] = None,
+                    axis_name: Optional[str] = None,
+                    jit: bool = True):
+    """Build the train step.
+
+    step(state, images, masks, beta) -> (state, aux)
+
+    `images` is [accum * micro_batch, H, W, C]; with
+    config.gradient_accumulation_steps > 1 it is split into microbatches that
+    are scanned sequentially (grads averaged, BN stats threaded), giving the
+    reference's effective-batch semantics at constant memory.
+
+    `axis_name`: when set, gradients/aux are psum-averaged across that mesh
+    axis (data parallelism; used by vaeunet_tpu.parallel).
+    """
+    model = model or build_model(config)
+    criterion = criterion or make_criterion(config.lesion_type)
+    tx = make_optimizer(config)
+    accum = max(1, config.gradient_accumulation_steps)
+
+    def step(state: TrainState, images, masks, beta):
+        rng, new_rng = jax.random.split(state.rng)
+        if axis_name is not None:
+            # decorrelate the latent noise across data-parallel shards
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        grad_fn = jax.grad(
+            functools.partial(_forward_loss, model, criterion, config),
+            has_aux=True)
+
+        if accum == 1:
+            grads, (batch_stats, aux) = grad_fn(
+                state.params, state.batch_stats, images, masks, rng, beta)
+        else:
+            b = images.shape[0]
+            micro = b // accum
+            assert micro * accum == b, (
+                f"batch {b} not divisible by accumulation {accum}")
+            im = images.reshape(accum, micro, *images.shape[1:])
+            mk = masks.reshape(accum, micro, *masks.shape[1:])
+            rngs = jax.random.split(rng, accum)
+
+            def body(carry, xs):
+                stats, grad_acc = carry
+                images_i, masks_i, rng_i = xs
+                g, (stats, aux_i) = grad_fn(state.params, stats, images_i,
+                                            masks_i, rng_i, beta)
+                grad_acc = jax.tree.map(jnp.add, grad_acc, g)
+                return (stats, grad_acc), aux_i
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (batch_stats, grads), aux_scan = jax.lax.scan(
+                body, (state.batch_stats, zero_grads), (im, mk, rngs))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            aux = {
+                "loss": jnp.mean(aux_scan["loss"]),
+                "recon_loss": jnp.mean(aux_scan["recon_loss"]),
+                "kl_loss": jnp.mean(aux_scan["kl_loss"]),
+                "mu": aux_scan["mu"].reshape(b, -1),
+                "logvar": aux_scan["logvar"].reshape(b, -1),
+            }
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = dict(aux)
+            for k in ("loss", "recon_loss", "kl_loss"):
+                aux[k] = jax.lax.pmean(aux[k], axis_name)
+            batch_stats = jax.tree.map(
+                lambda s: jax.lax.pmean(s, axis_name), batch_stats)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats, opt_state=opt_state,
+                                  rng=new_rng)
+        return new_state, aux
+
+    if jit:
+        return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_eval_step(config: TrainConfig, model=None,
+                   apply_sigmoid_for_metrics: bool = False,
+                   axis_name: Optional[str] = None,
+                   jit: bool = True):
+    """Validation step rebuilding reference evaluate.py:20-101.
+
+    eval_step(variables, images, masks, rng) -> (metrics, logits)
+
+    Keeps the reference semantics: eval-mode BN (running stats) but a
+    *sampled* z when the injection strategy samples (the reference's forward
+    draws randn even under torch.inference_mode, evaluate.py:56-58), and
+    metrics computed on raw logits at threshold 0.5 unless
+    `apply_sigmoid_for_metrics` (the SURVEY.md section 2.4-2 quirk flag).
+    Logits are bilinear-resized to the mask shape on mismatch
+    (evaluate.py:66-73).
+    """
+    model = model or build_model(config)
+    is_vae = isinstance(model, UNetResNet)
+
+    def step(variables, images, masks, rng):
+        if config.amp:
+            images = images.astype(jnp.bfloat16)
+        if is_vae:
+            logits, _, _ = model.apply(variables, images, train=False,
+                                       rngs={"latent": rng})
+        else:
+            logits = model.apply(variables, images, train=False)
+        logits = logits.astype(jnp.float32)
+        if logits.shape[1:3] != masks.shape[1:3]:
+            logits = resize_bilinear(logits, masks.shape[1:3], align_corners=True)
+        metrics = get_all_metrics(logits, masks,
+                                  apply_sigmoid=apply_sigmoid_for_metrics)
+        if axis_name is not None:
+            metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
+        return metrics, logits
+
+    if jit:
+        return jax.jit(step)
+    return step

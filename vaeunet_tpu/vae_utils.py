@@ -1,0 +1,89 @@
+"""VAE sampling utilities (functional rebuild of reference utils/vae_utils.py).
+
+- sample_from_latent      <- vae_utils.py:5-10
+- encode_images           <- vae_utils.py:13-25
+- generate_predictions    <- vae_utils.py:28-76, but vmap'd over the sample
+                             axis instead of a Python loop (the single biggest
+                             idiomatic win over the reference, SURVEY.md §7-9)
+- calculate_latent_stats  <- vae_utils.py:79-103
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vaeunet_tpu.models.vae_unet import UNetResNet
+
+
+def sample_from_latent(mu: jnp.ndarray, logvar: jnp.ndarray, rng,
+                       temperature: float = 1.0) -> jnp.ndarray:
+    """z = mu + eps * std * T  (vae_utils.py:5-10)."""
+    std = jnp.exp(0.5 * logvar) * temperature
+    eps = jax.random.normal(rng, std.shape, std.dtype)
+    return mu + eps * std
+
+
+def encode_images(model: UNetResNet, variables, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eval-mode encoder -> (mu, logvar).  (vae_utils.py:13-25)"""
+    return model.apply(variables, images, False, method=UNetResNet.encode)
+
+
+def generate_predictions(model: UNetResNet, variables, images, rng,
+                         temperature: float = 1.0, num_samples: int = 3,
+                         train: bool = False) -> jnp.ndarray:
+    """Mean decoder logits over `num_samples` tempered latent draws.
+
+    Encoder runs once; the decoder ensemble is a single vmap over the sample
+    axis (XLA batches the convs across samples on the MXU).  Matches the
+    final value of reference vae_utils.generate_predictions (which averages
+    its loop, :70-75).  When the model's strategy is 'none', z = mu.
+    """
+    mu, logvar, features = model.apply(
+        variables, images, train, method=UNetResNet.encode_with_features)
+    _, _, should_sample = _strategy(model)
+    if should_sample or model.latent_injection != "none":
+        keys = jax.random.split(rng, num_samples)
+        zs = jax.vmap(lambda k: sample_from_latent(mu, logvar, k, temperature))(keys)
+    else:
+        zs = jnp.broadcast_to(mu[None], (num_samples, *mu.shape))
+    out_hw = images.shape[1:3]
+
+    def decode_one(z):
+        return model.apply(variables, z, features, out_hw, train,
+                           method=UNetResNet.decode_features)
+
+    preds = jax.vmap(decode_one)(zs)  # [N, B, H, W, C]
+    return jnp.mean(preds, axis=0)
+
+
+def _strategy(model: UNetResNet):
+    from vaeunet_tpu.models.vae_unet import resolve_injection
+    return resolve_injection(model.latent_injection)
+
+
+def calculate_latent_stats(mu: jnp.ndarray, logvar: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Posterior-collapse monitor.  (vae_utils.py:79-103)
+
+    jit-safe: returns traced scalars; convert with float()/int() host-side.
+    """
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    mean_mu = jnp.mean(mu, axis=0)
+    var = jnp.exp(logvar)
+    mean_var = jnp.mean(var, axis=0)
+    active = ((jnp.abs(mean_mu) > 0.1) | (mean_var < 0.9) | (mean_var > 1.1))
+    active_dims = jnp.sum(active)
+    total_dims = mu.shape[1]
+    kl_per_dim = 0.5 * (jnp.square(mean_mu) + mean_var
+                        - jnp.mean(logvar, axis=0) - 1.0)
+    return {
+        "active_dims": active_dims,
+        "total_dims": jnp.asarray(total_dims),
+        "activity_ratio": active_dims / total_dims,
+        "total_kl": jnp.sum(kl_per_dim),
+        "mean_mu_abs": jnp.mean(jnp.abs(mean_mu)),
+        "mean_var": jnp.mean(mean_var),
+    }
