@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark: images/sec/chip for the jit'd VAE-UNet train step.
+
+BASELINE config: 512x512 inputs, batch 16, bf16 mixed precision, full
+training step (forward + Dice+BCE + KL + backward + AdamW update).  The
+baseline for `vs_baseline` is the PyTorch-CPU reference doing the equivalent
+train step (measured once on this host and cached in bench_baseline.json —
+the reference repo is CUDA/CPU PyTorch; BASELINE.json's north star is
+">=5x images/sec/chip over the PyTorch-CPU reference at 512^2").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+"""
+
+import json
+import time
+from pathlib import Path
+
+BASELINE_FILE = Path(__file__).parent / "bench_baseline.json"
+HW = 512
+BATCH = 16
+STEPS = 10
+WARMUP = 3
+
+
+def measure_tpu(batch: int = BATCH) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from vaeunet_tpu.training.config import TrainConfig
+    from vaeunet_tpu.training.state import create_train_state
+    from vaeunet_tpu.training.step import make_train_step
+
+    config = TrainConfig(model_type="resnet", batch_size=batch,
+                         gradient_accumulation_steps=1, amp=True,
+                         patch_size=HW, learning_rate=1e-4, seed=0)
+    state = create_train_state(config, jax.random.PRNGKey(0), (HW, HW))
+    step = make_train_step(config)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, HW, HW, 3),
+                                jnp.float32)
+    masks = (jax.random.uniform(jax.random.PRNGKey(2),
+                                (batch, HW, HW, 1)) > 0.9).astype(jnp.float32)
+    beta = jnp.float32(0.001)
+    for _ in range(WARMUP):
+        state, aux = step(state, images, masks, beta)
+    float(aux["loss"])  # NB: on the tunneled axon backend block_until_ready
+    t0 = time.perf_counter()  # returns before execution; a host value fetch
+    for _ in range(STEPS):  # is the only reliable completion barrier.
+        state, aux = step(state, images, masks, beta)
+    float(aux["loss"])
+    dt = time.perf_counter() - t0
+    return batch * STEPS / dt
+
+
+def measure_torch_cpu_baseline() -> float:
+    """Reference-equivalent torch-CPU train step at 512^2 (batch 2, few
+    iters — CPU throughput is batch-size-insensitive at this size)."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    import torch
+
+    from tests.torch_mirrors import UNetResNetT
+
+    torch.manual_seed(0)
+    model = UNetResNetT(3, 1)
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-4, weight_decay=1e-5)
+    bce = torch.nn.BCEWithLogitsLoss()
+    b = 2
+    x = torch.rand(b, 3, HW, HW)
+    y = (torch.rand(b, 1, HW, HW) > 0.9).float()
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        logits, mu, logvar = model(x)
+        probs = torch.sigmoid(logits).reshape(-1)
+        t = y.reshape(-1)
+        dice = 1 - (2 * (probs * t).sum() + 1) / (probs.sum() + t.sum() + 1)
+        kl = 0.5 * (mu.pow(2) + logvar.exp() - logvar - 1).sum(1).mean()
+        loss = 0.5 * bce(logits, y) + 0.5 * dice + 0.001 * kl
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+
+    step()  # warmup
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return b * iters / dt
+
+
+def get_baseline() -> float:
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text())["torch_cpu_img_per_sec"]
+    value = measure_torch_cpu_baseline()
+    BASELINE_FILE.write_text(json.dumps(
+        {"torch_cpu_img_per_sec": value, "hw": HW,
+         "note": "reference-equivalent VAE-UNet train step, torch CPU"}))
+    return value
+
+
+def main():
+    baseline = get_baseline()
+    try:
+        value = measure_tpu(BATCH)
+    except Exception:
+        value = measure_tpu(BATCH // 2)  # HBM headroom fallback
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_512sq_vaeunet_train",
+        "value": round(value, 3),
+        "unit": "img/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,11 +24,16 @@ from vaeunet_tpu.inference.tiled import predict_tiled_ensemble, predict_with_pat
 from vaeunet_tpu.vae_utils import sample_from_latent
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def predict_full_image(model: UNetResNet, variables, image: jnp.ndarray,
                        z: jnp.ndarray) -> jnp.ndarray:
     """Single forward with an externally-supplied latent: encoder ->
     decode(z) -> sigmoid, output resized to the input size.
-    image [H,W,C] or [B,H,W,C]; z [B,D].  (visualize_vae.py:61-87)"""
+    image [H,W,C] or [B,H,W,C]; z [B,D].  (visualize_vae.py:61-87)
+
+    jit'd with the model static: on the tunneled TPU backend, eager
+    dispatch costs ~30ms/op — everything public here must be compiled.
+    """
     batched = image.ndim == 4
     if not batched:
         image = image[None]
@@ -40,6 +45,7 @@ def predict_full_image(model: UNetResNet, variables, image: jnp.ndarray,
     return probs if batched else probs[0]
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def predict_image(model, variables, image: jnp.ndarray,
                   out_threshold: float = 0.5,
                   rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -65,6 +71,7 @@ def predict_image(model, variables, image: jnp.ndarray,
     return probs, mask
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 6, 7))
 def segmentation_distribution(model: UNetResNet, variables, image: jnp.ndarray,
                               rng: jax.Array, num_samples: int = 5,
                               temperature: float = 1.0,

@@ -180,6 +180,7 @@ def _decode_tiles(model: UNetResNet, variables, features, z: jnp.ndarray,
     return out[:t]
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def predict_with_patches(model: UNetResNet, variables, image: jnp.ndarray,
                          z: jnp.ndarray, patch_size: int = 512,
                          overlap: Optional[int] = None,
@@ -196,6 +197,7 @@ def predict_with_patches(model: UNetResNet, variables, image: jnp.ndarray,
     return _scatter_blend(preds, weights, grid, (h, w))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def predict_tiled_ensemble(model: UNetResNet, variables, image: jnp.ndarray,
                            zs: jnp.ndarray, patch_size: int = 512,
                            overlap: Optional[int] = None,

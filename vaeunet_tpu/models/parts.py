@@ -41,6 +41,9 @@ class AttentionGate(nn.Module):
         psi = Conv(1, kernel_size=1, name="psi_conv")(psi)
         psi = BatchNorm(1, name="psi_bn")(psi, use_running_average=not train)
         psi = nn.sigmoid(psi)
+        # capturable attention map (apply with mutable=['intermediates']);
+        # replaces the reference's forward hooks (analyze_model.py:48-57)
+        self.sow("intermediates", "psi", psi)
         return x * psi
 
 

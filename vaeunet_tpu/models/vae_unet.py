@@ -83,7 +83,13 @@ class AttentionGate(nn.Module):
         psi = nn.relu(g1 + x1)
         psi = Conv(1, kernel_size=1, name="psi_conv")(psi)
         psi = BatchNorm(1, name="psi_bn")(psi, use_running_average=not train)
-        return x * nn.sigmoid(psi)
+        psi = nn.sigmoid(psi)
+        # capturable attention map — the functional replacement for the
+        # reference's forward hooks on AttentionGate.psi
+        # (analyze_model.py:48-57,725-744): apply with
+        # mutable=['intermediates'] to collect.
+        self.sow("intermediates", "psi", psi)
+        return x * psi
 
 
 class DecoderBlock(nn.Module):
