@@ -16,6 +16,14 @@ import json
 import time
 from pathlib import Path
 
+import jax
+
+# persistent compilation cache: the tunneled backend takes minutes to
+# compile the full train step; cached re-runs start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_FILE = Path(__file__).parent / "bench_baseline.json"
 HW = 512
 BATCH = 16

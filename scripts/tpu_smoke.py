@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Real-TPU smoke test: exercises what the CPU test suite cannot —
+Pallas kernels with hardware PRNG, bf16 train step, timing with host-fetch
+sync (the tunneled backend's block_until_ready returns early; see
+.claude/skills/verify/SKILL.md)."""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    print("devices:", jax.devices())
+
+    # 1. in-kernel PRNG reparameterization
+    from vaeunet_tpu.ops.pallas.reparam import reparameterize_pallas
+    n = 8192
+    mu = jnp.broadcast_to(jnp.asarray([1.0, -2.0]), (n, 2))
+    logvar = jnp.broadcast_to(jnp.asarray([0.0, float(np.log(4.0))]), (n, 2))
+    z = np.asarray(reparameterize_pallas(mu, logvar, seed=7))
+    print("reparam stats: mean", z.mean(0), "std", z.std(0))
+    assert np.allclose(z.mean(0), [1.0, -2.0], atol=0.1)
+    assert np.allclose(z.std(0), [1.0, 2.0], rtol=0.1)
+    z2 = np.asarray(reparameterize_pallas(mu, logvar, seed=7))
+    assert (z == z2).all(), "same seed must reproduce"
+
+    # 2. fused BN+ReLU vs lax
+    from vaeunet_tpu.ops.pallas.bn_relu import fused_bn_relu
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 64).astype(np.float32))
+    scale = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+    mean = jnp.asarray(rng.randn(64).astype(np.float32))
+    var = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    ours = np.asarray(fused_bn_relu(x, scale, bias, mean, var))
+    ref = np.asarray(jnp.maximum(
+        (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias, 0.0))
+    err = np.abs(ours - ref).max()
+    print("fused_bn_relu max err vs lax:", err)
+    assert err < 1e-4
+
+    # 3. one bf16 train step at 256^2 with value-fetch timing
+    from vaeunet_tpu.training.config import TrainConfig
+    from vaeunet_tpu.training.state import create_train_state
+    from vaeunet_tpu.training.step import make_train_step
+    config = TrainConfig(model_type="resnet", batch_size=8, amp=True,
+                         gradient_accumulation_steps=1, patch_size=256,
+                         learning_rate=1e-4, seed=0)
+    state = create_train_state(config, jax.random.PRNGKey(0), (256, 256))
+    step = make_train_step(config)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (8, 256, 256, 3))
+    masks = (jax.random.uniform(jax.random.PRNGKey(2), (8, 256, 256, 1)) > 0.9
+             ).astype(jnp.float32)
+    state, aux = step(state, images, masks, jnp.float32(0.001))
+    print("train step loss:", float(aux["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, aux = step(state, images, masks, jnp.float32(0.001))
+    loss = float(aux["loss"])
+    dt = time.perf_counter() - t0
+    print(f"256^2 b8 bf16: {8 * 10 / dt:.1f} img/s (loss {loss:.4f})")
+    print("TPU smoke OK")
+
+
+if __name__ == "__main__":
+    main()

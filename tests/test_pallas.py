@@ -1,0 +1,62 @@
+"""Pallas kernels in interpret mode (CPU backend): correctness vs lax."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vaeunet_tpu.ops.pallas.bn_relu import fused_bn_relu
+from vaeunet_tpu.ops.pallas.reparam import reparameterize_pallas
+
+
+def test_fused_bn_relu_matches_lax():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 9, 16).astype(np.float32))
+    scale = jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(16).astype(np.float32))
+    mean = jnp.asarray(rng.randn(16).astype(np.float32))
+    var = jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)
+
+    ours = fused_bn_relu(x, scale, bias, mean, var, True)
+    ref = jnp.maximum(
+        (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias, 0.0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_bn_relu_nonaligned_rows():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 7, 5, 8).astype(np.float32))  # 105 rows
+    ones = jnp.ones(8)
+    zeros = jnp.zeros(8)
+    ours = fused_bn_relu(x, ones, zeros, zeros, ones, True)
+    ref = jnp.maximum(x * jax.lax.rsqrt(jnp.ones(8) + 1e-5), 0.0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_seed has no CPU interpret rule; "
+                    "exercised on real TPU (see scripts/tpu_smoke.py)")
+def test_reparam_pallas_statistics():
+    """In-kernel PRNG reparameterization: z ~ N(mu, e^logvar * T^2) at the
+    distribution level (RNG-stream parity is impossible across backends)."""
+    n = 4096
+    mu = jnp.broadcast_to(jnp.asarray([1.0, -2.0]), (n, 2))
+    logvar = jnp.broadcast_to(jnp.asarray([0.0, np.log(4.0)]), (n, 2))
+    z = reparameterize_pallas(mu, logvar, seed=7, interpret=False,
+                              temperature=1.0)
+    z = np.asarray(z)
+    assert z.shape == (n, 2)
+    np.testing.assert_allclose(z.mean(0), [1.0, -2.0], atol=0.15)
+    np.testing.assert_allclose(z.std(0), [1.0, 2.0], rtol=0.1)
+    # temperature scales the spread
+    z2 = np.asarray(reparameterize_pallas(mu, logvar, seed=7,
+                                          temperature=2.0))
+    np.testing.assert_allclose(z2.std(0), [2.0, 4.0], rtol=0.1)
+    # same seed -> identical draws; different seed -> different
+    z3 = np.asarray(reparameterize_pallas(mu, logvar, seed=7,
+                                          temperature=1.0))
+    np.testing.assert_array_equal(z, z3)
+    z4 = np.asarray(reparameterize_pallas(mu, logvar, seed=8,
+                                          temperature=1.0))
+    assert not np.array_equal(z, z4)

@@ -296,6 +296,40 @@ class IDRIDDataset:
                 "img_id": img_id, "coords": (y, x),
                 "has_lesion": has_lesion}
 
+    def gather_batch(self, indices) -> Optional[Dict]:
+        """Native-thread batch assembly (patch mode, uint8 cache): gathers
+        all patches of a batch in one C++ call (vaeunet_tpu.native), the
+        DataLoader-worker equivalent.  Returns None when unavailable
+        (full-image mode / float cache) — callers fall back to __getitem__.
+        """
+        if self.is_full_image:
+            return None
+        from vaeunet_tpu import native
+        records = [self.patch_index[int(i)] for i in indices]
+        planes_i, planes_m, coords, ids = [], [], [], []
+        for img_id, y, x, _ in records:
+            if img_id not in self._raw_cache():
+                z = np.load(self.cache_dir / f"{img_id}.npz")
+                if "image_u8" not in z:
+                    return None
+                self._raw[img_id] = (np.ascontiguousarray(z["image_u8"]),
+                                     np.ascontiguousarray(z["mask"]))
+            img, mask = self._raw[img_id]
+            planes_i.append(img)
+            planes_m.append(mask)
+            coords.append((y, x))
+            ids.append(img_id)
+        images, masks = native.gather_patch_batch(
+            planes_i, planes_m, np.asarray(coords, np.int32), self.patch_size)
+        return {"image": images, "mask": masks, "img_id": ids}
+
+    def _raw_cache(self):
+        if not hasattr(self, "_raw"):
+            self._raw: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        if len(self._raw) > 32:
+            self._raw.clear()
+        return self._raw
+
     def unique_image_ids(self) -> List[str]:
         seen = []
         for img_id, *_ in self.patch_index:

@@ -60,21 +60,29 @@ class Loader:
             pad = np.resize(tail, b)  # repeat to fixed shape
             yield pad, rem
 
+    def _make_batch(self, batch_idx, true_count) -> Dict:
+        # native C++ thread-parallel gather when the dataset supports it
+        # (patch mode + uint8 cache); python fallback otherwise
+        batch = None
+        gather = getattr(self.dataset, "gather_batch", None)
+        if gather is not None:
+            batch = gather(batch_idx)
+        if batch is None:
+            batch = _collate([self.dataset[int(i)] for i in batch_idx])
+        batch["count"] = true_count
+        return batch
+
     def __iter__(self) -> Iterator[Dict]:
         def produce(out_q):
             try:
                 for batch_idx, true_count in self._index_batches():
-                    batch = _collate([self.dataset[int(i)] for i in batch_idx])
-                    batch["count"] = true_count
-                    out_q.put(batch)
+                    out_q.put(self._make_batch(batch_idx, true_count))
             finally:
                 out_q.put(None)
 
         if self.prefetch <= 0:
             for batch_idx, true_count in self._index_batches():
-                batch = _collate([self.dataset[int(i)] for i in batch_idx])
-                batch["count"] = true_count
-                yield batch
+                yield self._make_batch(batch_idx, true_count)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

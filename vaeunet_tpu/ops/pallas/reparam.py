@@ -1,0 +1,63 @@
+"""Fused VAE reparameterization with in-kernel TPU PRNG.
+
+z = mu + eps * exp(0.5 * logvar) * T,  eps ~ N(0,1)
+
+The reference draws eps with cuRAND via ``torch.randn_like``
+(unet_resnet.py:193, vae_utils.py:9).  Here the Gaussian noise is generated
+*inside* the kernel from the TPU's hardware PRNG (`pltpu.prng_random_bits`)
+via Box-Muller, fusing sampling + scale + shift into one VMEM-resident pass:
+no HBM round trip for eps, no separate RNG kernel launch.
+
+Numerical notes:
+- bits -> uniform in (0,1]: (bits >> 8) * 2^-24 + 2^-25 (24-bit mantissa
+  path, never 0, so log() is safe);
+- Box-Muller: z = sqrt(-2 ln u1) * cos(2 pi u2);
+- distribution-level parity only: RNG streams cannot match torch
+  (SURVEY.md section 7, hard parts).
+
+Interpret mode makes the kernel testable on the CPU backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reparam_kernel(seed_ref, mu_ref, logvar_ref, temp_ref, z_ref):
+    pltpu.prng_seed(seed_ref[0])
+    shape = mu_ref.shape
+    # two independent uniform draws
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
+    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    std = jnp.exp(0.5 * logvar_ref[:]) * temp_ref[0]
+    z_ref[:] = mu_ref[:] + eps * std
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def reparameterize_pallas(mu: jnp.ndarray, logvar: jnp.ndarray, seed,
+                          interpret: bool = False,
+                          temperature: float = 1.0) -> jnp.ndarray:
+    """mu, logvar: [B, D] fp32; seed: int32 scalar -> z [B, D]."""
+    b, d = mu.shape
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    temp_arr = jnp.asarray(temperature, jnp.float32).reshape(1)
+    return pl.pallas_call(
+        _reparam_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(seed_arr, mu.astype(jnp.float32), logvar.astype(jnp.float32), temp_arr)

@@ -88,13 +88,19 @@ def create_train_state(config: TrainConfig, rng: jax.Array,
     model = build_model(config)
     if variables is None:
         hw = sample_input_hw or (config.patch_size or 256, config.patch_size or 256)
-        dummy = jnp.zeros((1, hw[0], hw[1], config.n_channels), jnp.float32)
         init_rng, rng = jax.random.split(rng)
-        rngs = {"params": init_rng, "latent": jax.random.fold_in(init_rng, 1)}
-        if isinstance(model, UNetResNet):
-            variables = model.init(rngs, dummy, train=False, sample=False)
-        else:
-            variables = model.init(rngs, dummy, train=False)
+
+        # jit the whole init: on the tunneled TPU backend, eager per-param
+        # initialization costs ~30ms/op and takes minutes for this model.
+        @jax.jit
+        def init_fn(key):
+            dummy = jnp.zeros((1, hw[0], hw[1], config.n_channels), jnp.float32)
+            rngs = {"params": key, "latent": jax.random.fold_in(key, 1)}
+            if isinstance(model, UNetResNet):
+                return model.init(rngs, dummy, train=False, sample=False)
+            return model.init(rngs, dummy, train=False)
+
+        variables = init_fn(init_rng)
     variables = dict(variables)
     tx = make_optimizer(config)
     params = variables["params"]
@@ -102,6 +108,6 @@ def create_train_state(config: TrainConfig, rng: jax.Array,
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", FrozenDict()),
-        opt_state=tx.init(params),
+        opt_state=jax.jit(tx.init)(params),
         rng=rng,
     )
