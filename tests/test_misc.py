@@ -1,0 +1,114 @@
+"""Coverage for auxiliary components: multi-temp objective, sample-parallel
+ensembles, profiling utilities, pretrained-backbone conversion, tracker."""
+
+import json
+import logging
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_mirrors import ResNet34FeaturesT
+from vaeunet_tpu.compat.torch_weights import convert_resnet34_backbone
+from vaeunet_tpu.models.resnet import ResNet34Encoder
+from vaeunet_tpu.models.vae_unet import UNetResNet
+from vaeunet_tpu.parallel.inference import ensemble_sample_parallel
+from vaeunet_tpu.parallel.mesh import make_mesh
+from vaeunet_tpu.training.config import TrainConfig
+from vaeunet_tpu.training.step import multi_temp_training_step
+from vaeunet_tpu.utils.profiling import log_memory_usage, time_fn, track_memory
+from vaeunet_tpu.utils.tracking import Tracker
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    model = UNetResNet(3, 1, latent_dim=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)), train=False)
+    return model, variables
+
+
+def test_multi_temp_training_step(tiny_vae):
+    model, variables = tiny_vae
+    config = TrainConfig(lesion_type="EX", latent_dim=8)
+    images = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    masks = (jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 1)) > 0.7
+             ).astype(jnp.float32)
+    total, parts = multi_temp_training_step(
+        config, model, variables, images, masks, jax.random.PRNGKey(4),
+        temps=(1.0, 3.0), weight=0.3, num_samples=2)
+    assert np.isfinite(float(total))
+    expected = 0.7 * float(parts["standard_loss"]) + 0.3 * float(parts["multi_temp_loss"])
+    assert float(total) == pytest.approx(expected, rel=1e-5)
+
+
+def test_ensemble_sample_parallel_matches_serial(tiny_vae):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model, variables = tiny_vae
+    mesh = make_mesh(8)
+    image = jax.random.uniform(jax.random.PRNGKey(5), (32, 32, 3))
+    zs = jax.random.normal(jax.random.PRNGKey(6), (8, 8))
+    sharded = np.asarray(ensemble_sample_parallel(model, variables, image,
+                                                  zs, mesh))
+    assert sharded.shape == (8, 32, 32, 1)
+    # serial reference via decode_features
+    _, _, features = model.apply(variables, image[None], False,
+                                 method=UNetResNet.encode_with_features)
+    for i in (0, 3, 7):
+        one = model.apply(variables, zs[i:i + 1], features, (32, 32), False,
+                          method=UNetResNet.decode_features)
+        one = np.asarray(jax.nn.sigmoid(one))[0]
+        np.testing.assert_allclose(sharded[i], one, atol=1e-5)
+
+
+def test_backbone_conversion_from_torchvision_style():
+    """convert_resnet34_backbone imports a classification-style resnet34
+    state_dict (torchvision/timm key naming) for pretrained encoders."""
+    torch.manual_seed(0)
+    ref = ResNet34FeaturesT(3)
+    ref.eval()
+    variables = jax.tree.map(jnp.asarray,
+                             convert_resnet34_backbone(ref.state_dict()))
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref_feats = ref(x)
+    enc = ResNet34Encoder(3)
+    feats = enc.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                      train=False)
+    assert len(feats) == len(ref_feats) == 5
+    for ours, theirs in zip(feats, ref_feats):
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), theirs.numpy(), atol=2e-4)
+
+
+def test_profiling_helpers(caplog):
+    @track_memory
+    def f(x):
+        return x * 2
+
+    with caplog.at_level(logging.INFO):
+        assert f(21) == 42
+        log_memory_usage("[test]")
+    assert any("host RSS" in r.message for r in caplog.records)
+
+    t = time_fn(jax.jit(lambda x: x + 1), jnp.ones((8, 8)), iters=3, warmup=1)
+    assert t > 0
+
+
+def test_tracker_offline(tmp_path):
+    tr = Tracker(run_dir=str(tmp_path), config={"a": 1})
+    tr.log({"train/loss": 0.5, "step": 1}, step=1)
+    tr.log_image("panel", np.zeros((8, 8, 3), np.uint8),
+                 masks={"gt": np.ones((8, 8), np.uint8)})
+    tr.summary({"best": 0.9})
+    tr.finish()
+    run = tr.run_dir
+    lines = (run / "metrics.jsonl").read_text().splitlines()
+    assert any("train/loss" in ln for ln in lines)
+    assert json.loads((run / "summary.json").read_text())["best"] == 0.9
+    assert (run / "images" / "panel.png").exists()

@@ -149,10 +149,12 @@ class BatchNorm(nn.Module):
             x32 = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x32, axis=axes)
-            # two-pass variance: E[(x-mean)^2].  The one-pass E[x^2]-mean^2
-            # form can round to a small negative for near-constant channels
-            # (dead ReLUs), making rsqrt produce NaN.
-            var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+            # one-pass variance (both reductions fuse into a single HBM
+            # sweep), clamped at 0: the raw E[x^2]-mean^2 form can round to
+            # a small negative for near-constant channels (dead ReLUs) and
+            # NaN the rsqrt.
+            var = jnp.maximum(
+                jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean), 0.0)
             n = x.size // self.features
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))

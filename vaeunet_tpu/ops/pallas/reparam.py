@@ -31,11 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 def _reparam_kernel(seed_ref, mu_ref, logvar_ref, temp_ref, z_ref):
     pltpu.prng_seed(seed_ref[0])
     shape = mu_ref.shape
-    # two independent uniform draws
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # two independent uniform draws; bitcast to uint32 — the raw bits are
+    # int32, and an arithmetic >> of negative values would yield negative
+    # "uniforms" (log() -> NaN)
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # logical >> 8 clears the top bits, so the int32 view is non-negative
+    # (Mosaic has no uint32->float cast)
+    i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
+    u2 = i2.astype(jnp.float32) * (1.0 / (1 << 24))
     eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
     std = jnp.exp(0.5 * logvar_ref[:]) * temp_ref[0]
     z_ref[:] = mu_ref[:] + eps * std

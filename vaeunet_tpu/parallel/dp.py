@@ -51,7 +51,7 @@ def make_dp_train_step(config: TrainConfig, mesh: Mesh, model=None,
         inner, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P()),
         out_specs=(P(), aux_spec),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
 
 

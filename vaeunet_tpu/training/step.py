@@ -138,6 +138,37 @@ def make_train_step(config: TrainConfig, model=None,
     return step
 
 
+def multi_temp_training_step(config: TrainConfig, model, variables, images,
+                             true_masks, rng, temps=(1.0, 3.0),
+                             weight: float = 0.3, num_samples: int = 3):
+    """Multi-temperature training objective.
+
+    Functional rebuild of reference ``train.py:137-160``
+    (multi_temp_training_step) — dead code in the reference's loop but part
+    of its public surface; here it actually works: standard loss blended
+    with the mean criterion over tempered ensemble predictions.
+    -> (total_loss, {'standard_loss', 'multi_temp_loss'})
+    """
+    from vaeunet_tpu.vae_utils import generate_predictions
+
+    criterion = make_criterion(config.lesion_type)
+    rngs = jax.random.split(rng, len(temps) + 1)
+    if isinstance(model, UNetResNet):
+        logits, _, _ = model.apply(variables, images, train=False,
+                                   rngs={"latent": rngs[0]})
+    else:
+        logits = model.apply(variables, images, train=False)
+    standard_loss = criterion(logits, true_masks)
+    multi = jnp.zeros(())
+    for t, key in zip(temps, rngs[1:]):
+        pred = generate_predictions(model, variables, images, key,
+                                    temperature=t, num_samples=num_samples)
+        multi = multi + criterion(pred, true_masks)
+    multi = multi / len(temps)
+    total = (1 - weight) * standard_loss + weight * multi
+    return total, {"standard_loss": standard_loss, "multi_temp_loss": multi}
+
+
 def make_eval_step(config: TrainConfig, model=None,
                    apply_sigmoid_for_metrics: bool = False,
                    axis_name: Optional[str] = None,
