@@ -112,3 +112,39 @@ def test_tracker_offline(tmp_path):
     assert any("train/loss" in ln for ln in lines)
     assert json.loads((run / "summary.json").read_text())["best"] == 0.9
     assert (run / "images" / "panel.png").exists()
+
+
+def test_reference_pth_checkpoint_roundtrip(tmp_path):
+    """A checkpoint saved in the reference's train.py:542-565 format loads
+    through load_reference_checkpoint and produces matching outputs."""
+    from vaeunet_tpu.compat.torch_weights import load_reference_checkpoint
+
+    torch.manual_seed(11)
+    from tests.torch_mirrors import UNetResNetT
+    ref = UNetResNetT(3, 1, latent_dim=32)
+    ref.eval()
+    ckpt = {
+        "epoch": 7,
+        "model_state_dict": ref.state_dict(),
+        "optimizer_state_dict": {},
+        "scheduler_state_dict": {},
+        "best_val_score": 0.5,
+        "global_step": 123,
+        "params": {"lesion_type": "EX", "latent_injection": "all"},
+    }
+    path = tmp_path / "best_model.pth"
+    torch.save(ckpt, path)
+
+    variables, meta = load_reference_checkpoint(str(path))
+    assert meta["lesion_type"] == "EX"
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref_logits, _, _ = ref(x)
+    model = UNetResNet(3, 1, latent_dim=32)
+    logits, _, _ = model.apply(variables,
+                               jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                               train=False, sample=False)
+    np.testing.assert_allclose(np.asarray(logits).transpose(0, 3, 1, 2),
+                               ref_logits.numpy(), atol=5e-4)
