@@ -63,9 +63,10 @@ def main():
         tracker = Tracker(project=args.wandb_project, config=vars(args),
                           job_type="analysis")
 
-    model = UNetResNet(3, 1, use_attention=args.use_attention,
-                       latent_injection=args.latent_injection)
-    variables = _load_variables(args.model, model)
+    from vaeunet_tpu.compat.loading import load_model_and_variables
+    model, variables, _ = load_model_and_variables(
+        args.model, overrides={"use_attention": args.use_attention,
+                               "latent_injection": args.latent_injection})
 
     dataset = IDRIDDataset(args.data_dir, split="test", scale=args.scale,
                            patch_size=None, lesion_type=args.lesion_type,
@@ -82,24 +83,6 @@ def main():
     if tracker:
         tracker.finish()
     logging.info("Analyzed %d images", len(df))
-
-
-def _load_variables(path: str, model):
-    import jax
-    import jax.numpy as jnp
-
-    if str(path).endswith(".pth"):
-        from vaeunet_tpu.compat.torch_weights import load_reference_checkpoint
-        variables, meta = load_reference_checkpoint(path)
-        logging.info("Converted reference checkpoint %s (params: %s)", path, meta)
-        return jax.tree.map(jnp.asarray, variables)
-    from vaeunet_tpu.training.checkpoint import load_config, restore_checkpoint
-    from vaeunet_tpu.training.config import TrainConfig
-    from vaeunet_tpu.training.state import create_train_state
-    config = load_config(path) or TrainConfig()
-    template = create_train_state(config, jax.random.PRNGKey(0))
-    restored, _ = restore_checkpoint(path, template)
-    return restored.variables()
 
 
 if __name__ == "__main__":

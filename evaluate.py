@@ -46,13 +46,11 @@ def main():
 
     import jax
 
-    from analyze_model import _load_variables
+    from vaeunet_tpu.compat.loading import load_model_and_variables
     from vaeunet_tpu.data.dataset import IDRIDDataset
     from vaeunet_tpu.data.loader import Loader
-    from vaeunet_tpu.models.vae_unet import UNetResNet
 
-    model = UNetResNet(3, 1)
-    variables = _load_variables(args.model, model)
+    model, variables, _ = load_model_and_variables(args.model)
     dataset = IDRIDDataset(args.data_dir, split=args.split, scale=args.scale,
                            patch_size=args.patch_size,
                            lesion_type=args.lesion_type,

@@ -64,24 +64,12 @@ def main():
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     args = get_args()
 
-    import jax
-    import jax.numpy as jnp
+    from vaeunet_tpu.compat.loading import load_model_and_variables
 
-    from vaeunet_tpu.models.unet import UNet
-    from vaeunet_tpu.models.vae_unet import UNetResNet
-
-    if args.model_type == "resnet":
-        model = UNetResNet(3, args.classes)
-    else:
-        model = UNet(3, args.classes, bilinear=args.bilinear)
-
-    if str(args.model).endswith(".pth"):
-        from vaeunet_tpu.compat.torch_weights import load_reference_checkpoint
-        variables, _ = load_reference_checkpoint(args.model)
-        variables = jax.tree.map(jnp.asarray, variables)
-    else:
-        from analyze_model import _load_variables
-        variables = _load_variables(args.model, model)
+    # architecture comes from the checkpoint itself (state-dict keys for
+    # .pth, stored config for orbax runs); --model-type/--classes/--bilinear
+    # are accepted for milesial flag parity but the checkpoint wins.
+    model, variables, _ = load_model_and_variables(args.model)
     logging.info("Model loaded from %s", args.model)
 
     out_files = args.output or [_out_name(f) for f in args.input]

@@ -148,3 +148,19 @@ def test_reference_pth_checkpoint_roundtrip(tmp_path):
                                train=False, sample=False)
     np.testing.assert_allclose(np.asarray(logits).transpose(0, 3, 1, 2),
                                ref_logits.numpy(), atol=5e-4)
+
+
+def test_backbone_family():
+    """resnet18/50 backbones build, run, and produce consistent shapes."""
+    for backbone, bott_ch in (("resnet18", 512), ("resnet50", 2048)):
+        model = UNetResNet(3, 1, backbone=backbone, latent_dim=8)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
+            x, train=False, sample=False)
+        logits, mu, logvar = model.apply(variables, x, train=False,
+                                         sample=False)
+        assert logits.shape == (1, 64, 64, 1), backbone
+        assert mu.shape == (1, 8)
+        k = variables["params"]["z_initial_conv"]["kernel"]
+        assert k.shape[-1] == bott_ch, (backbone, k.shape)

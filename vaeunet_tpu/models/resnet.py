@@ -51,22 +51,64 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
-class ResNet34Encoder(nn.Module):
-    """Feature-pyramid encoder; `__call__` returns the 5 feature maps."""
+class BottleneckBlock(nn.Module):
+    """1x1 reduce - 3x3(s) - 1x1 expand(4x) + identity/1x1-downsample
+    (resnet50-family)."""
+
+    features: int  # bottleneck width; output = 4 * features
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_features = 4 * self.features
+        identity = x
+        y = Conv(self.features, kernel_size=1, use_bias=False, name="conv1")(x)
+        y = BatchNorm(self.features, name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = Conv(self.features, kernel_size=3, stride=self.stride, padding=1,
+                 use_bias=False, name="conv2")(y)
+        y = BatchNorm(self.features, name="bn2")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = Conv(out_features, kernel_size=1, use_bias=False, name="conv3")(y)
+        y = BatchNorm(out_features, name="bn3")(y, use_running_average=not train)
+        if self.stride != 1 or x.shape[-1] != out_features:
+            identity = Conv(out_features, kernel_size=1, stride=self.stride,
+                            use_bias=False, name="downsample_conv")(x)
+            identity = BatchNorm(out_features, name="downsample_bn")(
+                identity, use_running_average=not train)
+        return nn.relu(y + identity)
+
+
+# backbone name -> (stage sizes, bottleneck?)
+RESNET_CONFIGS = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+    "resnet101": ((3, 4, 23, 3), True),
+}
+
+
+class ResNetEncoder(nn.Module):
+    """Feature-pyramid encoder for the resnet18/34/50/101 family;
+    `__call__` returns the 5 feature maps."""
 
     n_channels: int = 3
-    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    backbone: str = "resnet34"
     stage_features: Sequence[int] = (64, 128, 256, 512)
 
     # channels of each returned feature map, mirroring
     # timm's ``feature_info.channels()`` (unet_resnet.py:137)
     @property
     def feature_channels(self) -> List[int]:
-        return [64, *self.stage_features]
+        _, bottleneck = RESNET_CONFIGS[self.backbone]
+        mult = 4 if bottleneck else 1
+        return [64, *(f * mult for f in self.stage_features)]
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         assert x.shape[-1] == self.n_channels
+        stage_sizes, bottleneck = RESNET_CONFIGS[self.backbone]
+        block_cls = BottleneckBlock if bottleneck else BasicBlock
         feats = []
         x = Conv(64, kernel_size=7, stride=2, padding=3, use_bias=False,
                  name="conv1")(x)
@@ -75,10 +117,15 @@ class ResNet34Encoder(nn.Module):
         feats.append(x)                       # stride 2
         x = max_pool(x, window=3, stride=2, padding=1)
         for si, (n_blocks, features) in enumerate(
-                zip(self.stage_sizes, self.stage_features)):
+                zip(stage_sizes, self.stage_features)):
             for bi in range(n_blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
-                x = BasicBlock(features, stride, name=f"layer{si + 1}_{bi}")(
+                x = block_cls(features, stride, name=f"layer{si + 1}_{bi}")(
                     x, train=train)
             feats.append(x)                   # strides 4, 8, 16, 32
         return feats
+
+
+class ResNet34Encoder(ResNetEncoder):
+    """Back-compat alias with the original name."""
+    backbone: str = "resnet34"

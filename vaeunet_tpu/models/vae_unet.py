@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vaeunet_tpu.models.resnet import ResNet34Encoder
+from vaeunet_tpu.models.resnet import ResNetEncoder
 from vaeunet_tpu.ops.layers import BatchNorm, Conv
 from vaeunet_tpu.ops.pool import avg_pool_global
 from vaeunet_tpu.ops.resize import broadcast_latent_spatial, resize_bilinear
@@ -150,6 +150,7 @@ class UNetResNet(nn.Module):
 
     n_channels: int = 3
     n_classes: int = 1
+    backbone: str = "resnet34"
     latent_dim: int = 32
     use_attention: bool = True
     use_skip: bool = True
@@ -161,17 +162,22 @@ class UNetResNet(nn.Module):
         self.use_bottleneck = use_bottleneck
         self.should_sample = should_sample
 
-        self.encoder = ResNet34Encoder(self.n_channels, name="encoder")
-        enc_ch = self.encoder.feature_channels  # [64, 64, 128, 256, 512]
+        self.encoder = ResNetEncoder(self.n_channels, backbone=self.backbone,
+                                     name="encoder")
+        enc_ch = self.encoder.feature_channels  # resnet34: [64,64,128,256,512]
 
         self.mu_conv = Conv(self.latent_dim, kernel_size=1, name="mu_conv")
         self.logvar_conv = Conv(self.latent_dim, kernel_size=1, name="logvar_conv")
 
-        self.z_initial_conv = Conv(512, kernel_size=1, name="z_initial_conv")
-        self.z_initial_bn = BatchNorm(512, name="z_initial_bn")
+        # bottleneck projection width = encoder bottleneck channels
+        # (512 for resnet34, reproducing unet_resnet.py:150-154 exactly;
+        # scales to 2048 for bottleneck backbones)
+        bott = enc_ch[-1]
+        self.z_initial_conv = Conv(bott, kernel_size=1, name="z_initial_conv")
+        self.z_initial_bn = BatchNorm(bott, name="z_initial_bn")
 
         plans = [  # (in_ch, skip_ch, out_ch) per unet_resnet.py:181-186
-            (512, enc_ch[-2], 512),
+            (bott, enc_ch[-2], 512),
             (512, enc_ch[-3], 256),
             (256, enc_ch[-4], 128),
             (128, enc_ch[0], 64),

@@ -72,6 +72,7 @@ def build_model(config: TrainConfig):
         return UNetResNet(
             n_channels=config.n_channels,
             n_classes=config.n_classes,
+            backbone=config.backbone,
             latent_dim=config.latent_dim,
             use_attention=config.use_attention,
             use_skip=config.use_skip,

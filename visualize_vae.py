@@ -60,14 +60,12 @@ def main():
     from vaeunet_tpu.analysis.visualize import (generate_and_compare_ensemble,
                                                 plot_reconstruction,
                                                 visualize_temperature_sampling)
+    from vaeunet_tpu.compat.loading import load_model_and_variables
     from vaeunet_tpu.data.dataset import IDRIDDataset
-    from vaeunet_tpu.models.vae_unet import UNetResNet
 
-    from analyze_model import _load_variables  # shared checkpoint loader
-
-    model = UNetResNet(3, 1, use_attention=args.use_attention,
-                       latent_injection=args.latent_injection)
-    variables = _load_variables(args.model, model)
+    model, variables, _ = load_model_and_variables(
+        args.model, overrides={"use_attention": args.use_attention,
+                               "latent_injection": args.latent_injection})
 
     dataset = IDRIDDataset(args.data_dir, split="test", scale=args.scale,
                            patch_size=None, lesion_type=args.lesion_type,
