@@ -127,3 +127,43 @@ def test_graft_entry_forward():
     logits, mu, logvar = jax.jit(fn)(*args)
     assert logits.shape == (2, 256, 256, 1)
     assert mu.shape == (2, 32)
+
+
+def test_train_model_dp_end_to_end(tmp_path):
+    """Full DP training loop on the virtual mesh: synthetic dataset, 1 epoch,
+    checkpoint written."""
+    import numpy as np
+    from PIL import Image
+
+    from vaeunet_tpu.parallel.dp import train_model_dp
+    from vaeunet_tpu.utils.tracking import Tracker
+
+    root = tmp_path / "data"
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 3), ("val", 2)):
+        (root / "imgs" / split).mkdir(parents=True)
+        (root / "masks" / split / "EX").mkdir(parents=True)
+        for i in range(n):
+            yy, xx = np.mgrid[0:64, 0:64]
+            blob = (yy - 32) ** 2 + (xx - 32) ** 2 < 120
+            img = np.full((64, 64, 3), 30, np.uint8)
+            img[blob] = 210
+            mask = np.zeros((64, 64), np.uint8)
+            mask[blob] = 255
+            Image.fromarray(img).save(root / "imgs" / split / f"I_{i:02d}.jpg")
+            Image.fromarray(mask).save(
+                root / "masks" / split / "EX" / f"I_{i:02d}_EX.tif")
+
+    config = _config(batch_size=8, gradient_accumulation_steps=1,
+                     latent_dim=8)
+    import dataclasses
+    config = dataclasses.replace(
+        config, epochs=1, data_dir=str(root), img_scale=1.0, patch_size=32,
+        checkpoint_dir=str(tmp_path / "ckpt"), num_devices=8,
+        early_stopping_patience=100)
+    tracker = Tracker(run_dir=str(tmp_path / "runs"))
+    state = train_model_dp(config, tracker=tracker)
+    assert int(state.step) > 0
+    import json
+    lines = (tracker.run_dir / "metrics.jsonl").read_text().splitlines()
+    assert any("val/dice" in ln for ln in lines)

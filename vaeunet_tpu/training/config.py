@@ -57,6 +57,10 @@ class TrainConfig:
     seed: int = 42
     checkpoint_dir: str = "./checkpoints"
     save_checkpoint: bool = True
+    # also keep a timestamped copy per improvement (reference train.py:535-541
+    # keeps model_<ts>_ep<e>_dice<d>.pth alongside best_model.pth); off by
+    # default because each save costs ~20s on remote storage
+    save_all_improvements: bool = False
     num_workers: int = 6                    # host-side prefetch threads
     use_remat: bool = False
 

@@ -150,12 +150,19 @@ def train_model(config: TrainConfig,
             best_val_score = val_score
             no_improvement = 0
             if config.save_checkpoint:
-                save_checkpoint(run_dir, state, config, host_state={
+                host_state = {
                     "epoch": epoch, "global_step": global_step,
                     "best_val_score": best_val_score,
                     "scheduler": scheduler.state_dict(),
                     "no_improvement": no_improvement,
-                }, name="best")
+                }
+                save_checkpoint(run_dir, state, config,
+                                host_state=host_state, name="best")
+                if config.save_all_improvements:
+                    ts = time.strftime("%Y%m%d_%H%M")
+                    save_checkpoint(
+                        run_dir, state, config, host_state=host_state,
+                        name=f"model_{ts}_ep{epoch}_dice{val_score:.4f}")
                 log.info("New best model (dice %.4f) saved to %s",
                          val_score, run_dir)
         else:
