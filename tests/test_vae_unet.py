@@ -122,3 +122,30 @@ def test_encode_decode_ensemble_consistency():
         one = model.apply(variables, zs[i], features, (32, 32), False,
                           method=UNetResNet.decode_features)
         np.testing.assert_allclose(np.asarray(ens[i]), np.asarray(one), atol=1e-5)
+
+
+def test_logvar_clamp_keeps_sampling_finite():
+    """Runaway logvar head outputs must not NaN the sampled forward
+    (PARITY.md #22); strict mode (logvar_clamp=None) is available."""
+    model = UNetResNet(3, 1, latent_dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "latent": jax.random.PRNGKey(2)},
+        x, train=False)
+    # push the logvar head to produce absurd values
+    import flax
+    params = flax.core.unfreeze(variables["params"]) if hasattr(
+        flax.core, "unfreeze") else dict(variables["params"])
+    params["logvar_conv"]["bias"] = jnp.full_like(
+        params["logvar_conv"]["bias"], 1e6)
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    mu, logvar = model.apply(variables, x, False, method=UNetResNet.encode)
+    assert float(jnp.max(logvar)) <= 30.0
+    logits, _, _ = model.apply(variables, x, train=False,
+                               rngs={"latent": jax.random.PRNGKey(3)})
+    assert bool(jnp.isfinite(logits).all())
+
+    strict = UNetResNet(3, 1, latent_dim=8, logvar_clamp=None)
+    _, logvar_raw = strict.apply(variables, x, False, method=UNetResNet.encode)
+    assert float(jnp.max(logvar_raw)) > 30.0

@@ -155,6 +155,13 @@ class UNetResNet(nn.Module):
     use_attention: bool = True
     use_skip: bool = True
     latent_injection: LatentInjection = "all"
+    # |logvar| cap applied at the head.  The reference clamps per-dim KL to
+    # 100 (loss.py:158), which *zeroes the gradient* of runaway dimensions —
+    # so logvar can drift to values where exp() overflows and sampling
+    # returns inf/NaN at inference (observed on real IDRiD training).  A cap
+    # of 30 (std up to e^15) never binds for healthy posteriors but keeps
+    # sampling finite.  Set to None for strict reference behavior.
+    logvar_clamp: Optional[float] = 30.0
 
     def setup(self):
         use_latent, use_bottleneck, should_sample = resolve_injection(
@@ -194,19 +201,24 @@ class UNetResNet(nn.Module):
 
     # ----- pieces -------------------------------------------------------
 
+    def _clamp_logvar(self, logvar):
+        if self.logvar_clamp is not None:
+            return jnp.clip(logvar, -self.logvar_clamp, self.logvar_clamp)
+        return logvar
+
     def encode(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """-> (mu, logvar), each [B, latent_dim].  (unet_resnet.py:242-248)"""
         features = self.encoder(x, train=train)
         x_enc = features[-1]
         mu = avg_pool_global(self.mu_conv(x_enc))
-        logvar = avg_pool_global(self.logvar_conv(x_enc))
+        logvar = self._clamp_logvar(avg_pool_global(self.logvar_conv(x_enc)))
         return mu, logvar
 
     def encode_with_features(self, x, train: bool = False):
         features = self.encoder(x, train=train)
         x_enc = features[-1]
         mu = avg_pool_global(self.mu_conv(x_enc))
-        logvar = avg_pool_global(self.logvar_conv(x_enc))
+        logvar = self._clamp_logvar(avg_pool_global(self.logvar_conv(x_enc)))
         return mu, logvar, features
 
     def reparameterize(self, mu, logvar, rng, temperature: float = 1.0):
