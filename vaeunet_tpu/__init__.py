@@ -24,3 +24,20 @@ Reference parity map (file:line cites into the reference snapshot):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: full-model compiles take minutes on
+# remote/tunneled TPU backends; cached re-runs start in seconds.  Opt out
+# with VAEUNET_TPU_NO_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
+import os as _os
+
+if not _os.environ.get("VAEUNET_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # unknown config on exotic jax builds — non-fatal
+        pass

@@ -174,16 +174,16 @@ def train_model(config: TrainConfig,
         log.info("Epoch %d: KL weight (beta) %.6f", epoch, beta)
         epoch_mu, epoch_logvar = [], []
         steps_per_epoch = len(train_loader)
-        for batch_idx, batch in enumerate(train_loader):
-            images = jnp.asarray(batch["image"])
-            masks = jnp.asarray(batch["mask"])
-            aug_rng, sub = jax.random.split(aug_rng)
-            images, masks = augment_batch(sub, images, masks)
-            if place_batch is not None:
-                images, masks = place_batch(images, masks)
-            state, aux = train_step(state, images, masks, jnp.float32(beta))
-            global_step += 1
-            if batch_idx % 5 == 0 and is_vae:
+        pending = None  # (aux, step, batch_idx) fetched one step late so the
+        # host->device log sync overlaps the next step's compute
+
+        def flush_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            aux, step_no, bidx = pending
+            pending = None
+            if bidx % 5 == 0 and is_vae:
                 epoch_mu.append(np.asarray(aux["mu"]))
                 epoch_logvar.append(np.asarray(aux["logvar"]))
             tracker.log({
@@ -191,11 +191,25 @@ def train_model(config: TrainConfig,
                 "train/kl_loss": float(aux["kl_loss"]),
                 "train/kl_weight": beta,
                 "train/reconstruction_loss": float(aux["recon_loss"]),
-                "step": global_step, "epoch": epoch,
-            }, step=global_step)
+                "step": step_no, "epoch": epoch,
+            }, step=step_no)
+
+        for batch_idx, batch in enumerate(train_loader):
+            images = jnp.asarray(batch["image"])
+            masks = jnp.asarray(batch["mask"])
+            aug_rng, sub = jax.random.split(aug_rng)
+            images, masks = augment_batch(sub, images, masks)
+            if place_batch is not None:
+                images, masks = place_batch(images, masks)
+            new_state, aux = train_step(state, images, masks, jnp.float32(beta))
+            state = new_state
+            global_step += 1
+            flush_pending()
+            pending = (aux, global_step, batch_idx)
 
             current = batch_idx + 1
             if current == steps_per_epoch // 2 or current == steps_per_epoch:
+                flush_pending()
                 point = "mid" if current == steps_per_epoch // 2 else "end"
                 log.info("Running %s-epoch validation (epoch %d, step %d/%d)",
                          point, epoch, current, steps_per_epoch)
@@ -205,6 +219,7 @@ def train_model(config: TrainConfig,
                     tracker.finish(early_stopped=True, final_epoch=epoch)
                     return state
 
+        flush_pending()
         if epoch_mu:
             stats = calculate_latent_stats(
                 jnp.asarray(np.concatenate(epoch_mu)),
