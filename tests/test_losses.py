@@ -119,3 +119,19 @@ def test_make_criterion_selects_ma():
         float(L.ma_segmentation_loss(logits, targets, class_weight=0.9)))
     assert float(L.make_criterion("EX")(logits, targets)) == pytest.approx(
         float(L.combined_loss(logits, targets)))
+
+
+def test_multiclass_dice_parity(reference_path):
+    from utils.metrics import multiclass_dice_score as ref_md, dice_loss as ref_dl
+    torch.manual_seed(5)
+    pred = torch.rand(2, 3, 16, 16)
+    target = (torch.rand(2, 3, 16, 16) > 0.5).float()
+    ref = float(ref_md(pred, target))
+    ours = float(M.multiclass_dice_score(jnp.asarray(pred.numpy()),
+                                         jnp.asarray(target.numpy())))
+    assert abs(ours - ref) < 1e-6
+    ref_loss = float(ref_dl(pred, target, multiclass=True))
+    ours_loss = float(M.dice_loss_metric(jnp.asarray(pred.numpy()),
+                                         jnp.asarray(target.numpy()),
+                                         multiclass=True))
+    assert abs(ours_loss - ref_loss) < 1e-6

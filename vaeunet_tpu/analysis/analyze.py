@@ -197,6 +197,8 @@ def analyze_model(model: UNetResNet, variables, dataset, args: AnalyzeArgs,
                                                 tracker=tracker)
     gplots.plot_global_roc_pr(processed_ids, temp_dir, out_dir,
                               model_label=args.model_label, tracker=tracker)
+    gplots.create_uncertainty_visualizations(metrics_df, out_dir,
+                                             tracker=tracker)
 
     if tracker is not None and len(metrics_df):
         tracker.summary({

@@ -287,6 +287,42 @@ def plot_global_roc_pr(processed_ids, temp_dir, output_dir,
     return {"error_auroc": err_auroc, "error_auprc": err_auprc}
 
 
+def create_uncertainty_visualizations(metrics_df, output_dir, tracker=None):
+    """2x2 per-image metric summary: dice-vs-ECE and dice-vs-SE scatters,
+    ECE and UE-Dice histograms.  (analyze_model.py:579-690)"""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if metrics_df is None or not len(metrics_df):
+        return None
+    fig, axes = plt.subplots(2, 2, figsize=(14, 12))
+    axes = axes.flatten()
+    axes[0].scatter(metrics_df["dice"], metrics_df["ece"], s=80, alpha=0.7)
+    axes[0].set_title("Segmentation Accuracy vs. Calibration Error")
+    axes[0].set_xlabel("Dice Score (higher is better)")
+    axes[0].set_ylabel("ECE (lower is better)")
+    axes[1].scatter(metrics_df["dice"], metrics_df["sparsification_error"],
+                    s=80, alpha=0.7, color="darkorange")
+    axes[1].set_title("Segmentation Accuracy vs. Uncertainty Quality")
+    axes[1].set_xlabel("Dice Score (higher is better)")
+    axes[1].set_ylabel("Sparsification Error")
+    axes[2].hist(metrics_df["ece"].dropna(), bins=10, color="teal", alpha=0.8)
+    axes[2].set_title("Distribution of Expected Calibration Error")
+    axes[2].set_xlabel("ECE (lower is better)")
+    axes[3].hist(metrics_df["uncertainty_error_dice"].dropna(), bins=10,
+                 color="indigo", alpha=0.8)
+    axes[3].set_title("Distribution of Uncertainty-Error Dice")
+    axes[3].set_xlabel("U-E Dice (higher indicates better overlap)")
+    for a in axes:
+        a.grid(alpha=0.3)
+    fig.tight_layout()
+    path = Path(output_dir) / "uncertainty_summary.png"
+    fig.savefig(path, dpi=200)
+    plt.close(fig)
+    return str(path)
+
+
 def plot_segmentation_roc_pr(processed_ids, temp_dir, output_dir,
                              model_label: str = "Model",
                              tracker=None) -> Optional[Dict[str, float]]:

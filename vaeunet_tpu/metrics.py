@@ -48,6 +48,24 @@ def dice_score(pred: jnp.ndarray, target: jnp.ndarray,
     return jnp.where(denominator == 0, 1.0, dice)
 
 
+def multiclass_dice_score(pred: jnp.ndarray, target: jnp.ndarray,
+                          epsilon: float = 1e-6,
+                          apply_sigmoid: bool = False) -> jnp.ndarray:
+    """Average Dice over classes by flattening the class axis into the batch
+    (metrics.py:38-41)."""
+    return dice_score(pred.reshape(-1, *pred.shape[2:]),
+                      target.reshape(-1, *target.shape[2:]),
+                      epsilon, apply_sigmoid)
+
+
+def dice_loss_metric(pred: jnp.ndarray, target: jnp.ndarray,
+                     multiclass: bool = False) -> jnp.ndarray:
+    """1 - hard dice (the metrics-module dice_loss variant, metrics.py:44-47;
+    the trainable soft version lives in vaeunet_tpu.losses)."""
+    fn = multiclass_dice_score if multiclass else dice_score
+    return 1.0 - fn(pred, target)
+
+
 def iou_score(pred, target, epsilon: float = 1e-6, apply_sigmoid: bool = False):
     p, t = _binarize(pred, target, apply_sigmoid)
     intersection = jnp.sum(p * t)
