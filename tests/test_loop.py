@@ -68,3 +68,29 @@ def test_train_checkpoint_resume(synth_root, tmp_path):
     lines = (tracker.run_dir / "metrics.jsonl").read_text().strip().splitlines()
     assert any("val/dice" in ln for ln in lines)
     assert any("train/total_loss" in ln for ln in lines)
+
+
+def test_resume_continues_training(synth_root, tmp_path):
+    """resume_from restores step/best/scheduler and continues from the next
+    epoch (the true-resume capability the reference lacks)."""
+    config = TrainConfig(
+        model_type="resnet", latent_dim=8, epochs=1, batch_size=2,
+        gradient_accumulation_steps=1, learning_rate=1e-3, amp=False,
+        data_dir=str(synth_root), img_scale=1.0, patch_size=32,
+        lesion_type="EX", seed=0, checkpoint_dir=str(tmp_path / "ckpt"),
+        kl_anneal_epochs=2, early_stopping_patience=100)
+    tracker = Tracker(run_dir=str(tmp_path / "runs1"))
+    state1 = train_model(config, tracker=tracker)
+    step1 = int(state1.step)
+    run_dir = config.checkpoint_path()
+
+    import dataclasses
+    config2 = dataclasses.replace(config, epochs=2)
+    tracker2 = Tracker(run_dir=str(tmp_path / "runs2"))
+    state2 = train_model(config2, tracker=tracker2, resume_from=run_dir)
+    assert int(state2.step) > step1
+    lines = (tracker2.run_dir / "metrics.jsonl").read_text().splitlines()
+    import json
+    epochs_logged = {json.loads(l).get("epoch") for l in lines
+                     if "train/total_loss" in l}
+    assert epochs_logged == {2.0}  # resumed directly into epoch 2

@@ -124,9 +124,9 @@ def main():
 
     if config.num_devices > 1:
         from vaeunet_tpu.parallel.dp import train_model_dp
-        train_model_dp(config, variables=variables)
+        train_model_dp(config, variables=variables, resume_from=args.resume)
     else:
-        train_model(config, variables=variables)
+        train_model(config, variables=variables, resume_from=args.resume)
 
 
 if __name__ == "__main__":

@@ -75,7 +75,8 @@ def train_model(config: TrainConfig,
                 tracker: Optional[Tracker] = None,
                 train_dataset=None, val_dataset=None,
                 train_step=None, eval_step=None,
-                place_batch=None) -> TrainState:
+                place_batch=None,
+                resume_from: Optional[str] = None) -> TrainState:
     rng = jax.random.PRNGKey(config.seed)
 
     train_dataset = train_dataset or IDRIDDataset(
@@ -121,7 +122,24 @@ def train_model(config: TrainConfig,
     best_val_score = float("-inf")
     no_improvement = 0
     global_step = 0
+    start_epoch = 1
     run_dir = config.checkpoint_path()
+
+    if resume_from:
+        # TRUE resume (the capability the reference lacks, SURVEY.md sec. 5):
+        # params, BN stats, optimizer moments, PRNG and step round-trip,
+        # plus host-side controller state.
+        from vaeunet_tpu.training.checkpoint import restore_checkpoint
+        state, host = restore_checkpoint(resume_from, state)
+        best_val_score = host.get("best_val_score", best_val_score)
+        no_improvement = host.get("no_improvement", 0)
+        global_step = host.get("global_step", int(state.step))
+        start_epoch = host.get("epoch", 0) + 1
+        if "scheduler" in host:
+            scheduler.load_state_dict(host["scheduler"])
+        log.info("Resumed from %s at epoch %d (step %d, best dice %.4f)",
+                 resume_from, start_epoch, global_step, best_val_score)
+
     t_start = time.time()
 
     def validate(state, point: str, epoch: int):
@@ -169,7 +187,7 @@ def train_model(config: TrainConfig,
             no_improvement += 1
         return state, no_improvement >= config.early_stopping_patience
 
-    for epoch in range(1, config.epochs + 1):
+    for epoch in range(start_epoch, config.epochs + 1):
         beta = annealer.get_weight(epoch)
         log.info("Epoch %d: KL weight (beta) %.6f", epoch, beta)
         epoch_mu, epoch_logvar = [], []
