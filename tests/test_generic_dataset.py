@@ -41,3 +41,35 @@ def test_basic_dataset(tmp_path):
 
     img, mask = ds.get_image_and_mask("car_1")
     assert img.shape[:2] == mask.shape[:2]
+
+
+def test_train_on_basic_dataset(tmp_path):
+    """End-to-end training epoch on a Carvana-style dataset (BASELINE
+    config 3 path)."""
+    import jax
+
+    from vaeunet_tpu.training.config import TrainConfig
+    from vaeunet_tpu.training.loop import train_model
+    from vaeunet_tpu.utils.tracking import Tracker
+
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 4), ("val", 2)):
+        (tmp_path / "imgs" / split).mkdir(parents=True)
+        (tmp_path / "masks" / split).mkdir(parents=True)
+        for i in range(n):
+            img = rng.randint(0, 256, (64, 64, 3), np.uint8)
+            mask = np.zeros((64, 64), np.uint8)
+            mask[16:48, 16:48] = 255
+            img[16:48, 16:48] = 230
+            Image.fromarray(img).save(tmp_path / "imgs" / split / f"c{i}.jpg")
+            Image.fromarray(mask).save(
+                tmp_path / "masks" / split / f"c{i}_mask.gif")
+
+    config = TrainConfig(
+        model_type="resnet", latent_dim=8, epochs=1, batch_size=2,
+        gradient_accumulation_steps=1, amp=False, dataset_type="basic",
+        data_dir=str(tmp_path), img_scale=0.5, lesion_type="EX", seed=0,
+        checkpoint_dir=str(tmp_path / "ckpt"), early_stopping_patience=100)
+    tracker = Tracker(run_dir=str(tmp_path / "runs"))
+    state = train_model(config, tracker=tracker)
+    assert int(state.step) > 0

@@ -60,6 +60,10 @@ def get_args():
     parser.add_argument("--beta", type=float, default=0.001)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--data-dir", type=str, default="./data")
+    parser.add_argument("--dataset", type=str, default="idrid",
+                        choices=["idrid", "basic"],
+                        help="'basic' = Carvana-style dir-of-images dataset")
+    parser.add_argument("--mask-suffix", type=str, default="_mask")
     parser.add_argument("--checkpoint-dir", type=str, default="./checkpoints")
     parser.add_argument("--num-devices", type=int, default=1,
                         help="Data-parallel devices (1 = single chip)")
@@ -96,6 +100,8 @@ def main():
         free_bits=args.free_bits,
         kl_anneal_epochs=args.kl_anneal_epochs,
         data_dir=args.data_dir,
+        dataset_type=args.dataset,
+        mask_suffix=args.mask_suffix,
         img_scale=args.scale,
         patch_size=args.patch_size,
         max_images=args.max_images,

@@ -47,6 +47,8 @@ class TrainConfig:
 
     # data (train.py:630-640, data_loading.py:45-47)
     data_dir: str = "./data"
+    dataset_type: str = "idrid"             # 'idrid' | 'basic' (Carvana-style)
+    mask_suffix: str = "_mask"              # for 'basic' datasets
     img_scale: float = 1.0
     patch_size: Optional[int] = None
     max_images: Optional[int] = None

@@ -79,14 +79,27 @@ def train_model(config: TrainConfig,
                 resume_from: Optional[str] = None) -> TrainState:
     rng = jax.random.PRNGKey(config.seed)
 
-    train_dataset = train_dataset or IDRIDDataset(
-        config.data_dir, split="train", scale=config.img_scale,
-        patch_size=config.patch_size, lesion_type=config.lesion_type,
-        max_images=config.max_images, balance_seed=config.seed)
-    val_dataset = val_dataset or IDRIDDataset(
-        config.data_dir, split="val", scale=config.img_scale,
-        patch_size=config.patch_size, lesion_type=config.lesion_type,
-        max_images=config.max_images)
+    if train_dataset is None or val_dataset is None:
+        if config.dataset_type == "basic":
+            # Carvana-style layout: <data_dir>/imgs/{train,val} +
+            # <data_dir>/masks/{train,val} with <id><mask_suffix>.* masks
+            from vaeunet_tpu.data.generic import BasicDataset
+            make = lambda split: BasicDataset(
+                f"{config.data_dir}/imgs/{split}",
+                f"{config.data_dir}/masks/{split}",
+                scale=config.img_scale, mask_suffix=config.mask_suffix,
+                max_images=config.max_images)
+            train_dataset = train_dataset or make("train")
+            val_dataset = val_dataset or make("val")
+        else:
+            train_dataset = train_dataset or IDRIDDataset(
+                config.data_dir, split="train", scale=config.img_scale,
+                patch_size=config.patch_size, lesion_type=config.lesion_type,
+                max_images=config.max_images, balance_seed=config.seed)
+            val_dataset = val_dataset or IDRIDDataset(
+                config.data_dir, split="val", scale=config.img_scale,
+                patch_size=config.patch_size, lesion_type=config.lesion_type,
+                max_images=config.max_images)
     if len(train_dataset) == 0 or len(val_dataset) == 0:
         raise RuntimeError(f"Empty dataset for lesion type {config.lesion_type}")
 
@@ -108,7 +121,10 @@ def train_model(config: TrainConfig,
         lesion_type=config.lesion_type, backbone=config.backbone,
         pretrained=config.pretrained, seed=config.seed))
 
-    hw = (train_dataset.patch_size, train_dataset.patch_size)
+    if hasattr(train_dataset, "patch_size"):
+        hw = (train_dataset.patch_size, train_dataset.patch_size)
+    else:
+        hw = tuple(train_dataset[0]["image"].shape[:2])
     state_rng, aug_rng, eval_rng, rng = jax.random.split(rng, 4)
     state = create_train_state(config, state_rng, hw, variables=variables)
     train_step = train_step or make_train_step(config)
