@@ -51,11 +51,8 @@ def main():
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     args = get_args()
 
-    import jax
-
     from vaeunet_tpu.analysis.analyze import AnalyzeArgs, analyze_model
     from vaeunet_tpu.data.dataset import IDRIDDataset
-    from vaeunet_tpu.models.vae_unet import UNetResNet
     from vaeunet_tpu.utils.tracking import Tracker
 
     tracker = None

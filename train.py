@@ -12,7 +12,6 @@ same defaults), dispatching into vaeunet_tpu.  Differences:
 
 import argparse
 import logging
-from pathlib import Path
 
 
 def get_args():

@@ -18,9 +18,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vaeunet_tpu.models.unet import UNet
 from vaeunet_tpu.models.vae_unet import UNetResNet
-from vaeunet_tpu.inference.tiled import predict_tiled_ensemble, predict_with_patches
+from vaeunet_tpu.inference.tiled import predict_tiled_ensemble
 from vaeunet_tpu.vae_utils import sample_from_latent
 
 

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vaeunet_tpu.models.vae_unet import UNetResNet
-from vaeunet_tpu.ops.resize import resize_bilinear
 
 
 def adaptive_overlap(patch_size: int) -> int:

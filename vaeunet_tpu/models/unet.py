@@ -10,7 +10,6 @@ trades MXU FLOPs for HBM, the standard memory lever.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from vaeunet_tpu.models.parts import DoubleConv, Down, OutConv, Up

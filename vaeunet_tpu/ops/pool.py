@@ -9,7 +9,6 @@ proper tiling).  Semantics match the PyTorch layers the reference uses:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

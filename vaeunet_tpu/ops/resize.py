@@ -18,7 +18,6 @@ keeps fp32 rounding identical to the reference implementation.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax
