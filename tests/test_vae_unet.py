@@ -44,6 +44,32 @@ def test_forward_parity_deterministic(injection):
     np.testing.assert_allclose(np.asarray(mu), ref_mu.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(logvar), ref_logvar.numpy(), atol=1e-4)
     np.testing.assert_allclose(logits, ref_logits.numpy(), rtol=0, atol=5e-4)
+    # default (fused) decoder: masks identical except numerically-borderline
+    # pixels (|p - 0.5| < 1e-4); strict bit-identity is covered separately
+    # with fused_decoder=False
+    p_ours = 1 / (1 + np.exp(-logits))
+    p_ref = 1 / (1 + np.exp(-ref_logits.numpy()))
+    disagree = (p_ours > 0.5) != (p_ref > 0.5)
+    assert (np.abs(p_ref[disagree] - 0.5) < 1e-4).all()
+
+
+def test_strict_mode_masks_bit_identical():
+    """fused_decoder=False: thresholded masks bit-identical to torch."""
+    torch.manual_seed(42)
+    ref = UNetResNetT(3, 1, latent_dim=32, latent_injection="last")
+    _randomize_bn_stats(ref)
+    ref.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref_logits, _, _ = ref(x)
+    variables = jax.tree.map(
+        jnp.asarray, convert_unet_resnet_state_dict(ref.state_dict()))
+    model = UNetResNet(3, 1, latent_dim=32, latent_injection="last",
+                       fused_decoder=False)
+    logits, _, _ = model.apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False, sample=False)
+    logits = np.asarray(logits).transpose(0, 3, 1, 2)
     p_ours = 1 / (1 + np.exp(-logits))
     p_ref = 1 / (1 + np.exp(-ref_logits.numpy()))
     assert ((p_ours > 0.5) == (p_ref > 0.5)).all()
@@ -149,3 +175,38 @@ def test_logvar_clamp_keeps_sampling_finite():
     strict = UNetResNet(3, 1, latent_dim=8, logvar_clamp=None)
     _, logvar_raw = strict.apply(variables, x, False, method=UNetResNet.encode)
     assert float(jnp.max(logvar_raw)) > 30.0
+
+
+def test_fused_decoder_matches_naive():
+    """fused=True (no concat / no z broadcast) must equal the naive lowering
+    with identical parameters, in eval and train mode."""
+    import flax
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3 * 48 * 48)).reshape(2, 48, 48, 3)
+    m_fused = UNetResNet(3, 1, latent_dim=8)
+    m_naive = UNetResNet(3, 1, latent_dim=8, fused_decoder=False)
+    variables = m_fused.init(
+        {"params": jax.random.PRNGKey(1), "latent": jax.random.PRNGKey(2)},
+        x, train=False, sample=False)
+
+    yf, muf, _ = m_fused.apply(variables, x, train=False, sample=False)
+    yn, mun, _ = m_naive.apply(variables, x, train=False, sample=False)
+    np.testing.assert_array_equal(np.asarray(muf), np.asarray(mun))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yn), atol=2e-5)
+
+    # train mode: outputs and updated batch stats agree
+    (ytf, *_), mf = m_fused.apply(variables, x, train=True, sample=False,
+                                  mutable=["batch_stats"])
+    (ytn, *_), mn = m_naive.apply(variables, x, train=True, sample=False,
+                                  mutable=["batch_stats"])
+    # train mode normalizes by batch statistics, which amplifies fp
+    # reassociation noise through 8 BN layers — tolerance reflects that
+    np.testing.assert_allclose(np.asarray(ytf), np.asarray(ytn), atol=2e-3)
+    for (pf, vf), (pn, vn) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(mf)[0],
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(mn)[0],
+                   key=lambda t: str(t[0]))):
+        assert str(pf) == str(pn)
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vn), atol=1e-3,
+                                   err_msg=str(pf))

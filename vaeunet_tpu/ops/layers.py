@@ -117,6 +117,65 @@ class ConvTranspose2x(nn.Module):
         return (y + bias.astype(y.dtype)).astype(dtype)
 
 
+class SlicedConv(nn.Module):
+    """3x3 pad-1 conv (bias-free) whose kernel can be applied in input-channel
+    slices: ``conv(concat([a, b, c])) == slice(a,0) + slice(b,ca) + slice(c,ca+cb)``.
+
+    Used by the fused decoder to avoid materializing concatenations; the
+    parameter name/shape matches ``Conv`` exactly, so checkpoints and the
+    torch converter are unaffected.  Setup-style (in_features is static) so
+    multiple methods can share the kernel.
+    """
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", torch_conv_kernel_init,
+                                 (3, 3, self.in_features, self.features))
+
+    def __call__(self, x, start: int = 0):
+        c = x.shape[-1]
+        k = jax.lax.slice_in_dim(self.kernel, start, start + c, axis=2)
+        return lax.conv_general_dilated(
+            x, k.astype(x.dtype), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def constant_input_term(self, z_vec, start: int, out_hw):
+        """Exact contribution of a spatially-constant input slice.
+
+        For a constant map v, ``conv3x3_pad1(broadcast(v))[y, x] = v @ S(y, x)``
+        where S sums the kernel taps whose reads fall inside the image — 9
+        position classes (corner/edge/interior).  O(B*Dz*Co) compute plus a
+        cheap border assembly instead of an HxW conv over a broadcast tensor.
+        z_vec: [B, D]; returns [B, H, W, features].
+        """
+        h, w = int(out_hw[0]), int(out_hw[1])
+        d = z_vec.shape[-1]
+        kz = jax.lax.slice_in_dim(self.kernel, start, start + d, axis=2)
+        kz = kz.astype(z_vec.dtype)
+        ky_sets = ((1, 2), (0, 1, 2), (0, 1))   # top / mid / bottom valid taps
+        kx_sets = ((1, 2), (0, 1, 2), (0, 1))   # left / mid / right
+
+        def taps(yc, xc):
+            m = sum(kz[ky, kx] for ky in ky_sets[yc] for kx in kx_sets[xc])
+            return z_vec @ m                    # [B, Co]
+
+        t = [[taps(yc, xc) for xc in range(3)] for yc in range(3)]
+        b = z_vec.shape[0]
+        co = self.features
+
+        def row(yc):
+            mid = jnp.broadcast_to(t[yc][1][:, None, :], (b, w - 2, co))
+            return jnp.concatenate(
+                [t[yc][0][:, None, :], mid, t[yc][2][:, None, :]], axis=1)
+
+        mid_rows = jnp.broadcast_to(row(1)[:, None], (b, h - 2, w, co))
+        return jnp.concatenate(
+            [row(0)[:, None], mid_rows, row(2)[:, None]], axis=1)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with exact PyTorch semantics over NHWC.
 
@@ -133,7 +192,8 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = True):
+    def __call__(self, x, use_running_average: bool = True,
+                 virtual_n: Optional[int] = None):
         dtype = x.dtype
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -155,7 +215,11 @@ class BatchNorm(nn.Module):
             # NaN the rsqrt.
             var = jnp.maximum(
                 jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean), 0.0)
-            n = x.size // self.features
+            # virtual_n: when the caller folded a broadcast dimension away
+            # (e.g. a spatially-constant latent computed at 1x1 instead of
+            # HxW), the unbiased-variance correction must still use the
+            # logical element count the reference would have seen.
+            n = virtual_n if virtual_n is not None else x.size // self.features
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
