@@ -167,3 +167,24 @@ def test_train_model_dp_end_to_end(tmp_path):
     import json
     lines = (tracker.run_dir / "metrics.jsonl").read_text().splitlines()
     assert any("val/dice" in ln for ln in lines)
+
+
+def test_predict_tiled_sharded_matches_single_device():
+    """Tile-grid sharding over the mesh == single-device tiled prediction."""
+    from vaeunet_tpu.inference.tiled import predict_with_patches
+    from vaeunet_tpu.models.vae_unet import UNetResNet
+    from vaeunet_tpu.parallel.inference import predict_tiled_sharded
+
+    model = UNetResNet(3, 1, latent_dim=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3)), train=False)
+    image = jax.random.uniform(jax.random.PRNGKey(2), (96, 80, 3))
+    z = jnp.zeros((1, 8))
+    mesh = make_mesh(8)
+    sharded = np.asarray(predict_tiled_sharded(model, variables, image, z,
+                                               mesh, patch_size=64))
+    single = np.asarray(predict_with_patches(model, variables, image, z,
+                                             patch_size=64, batch_size=2))
+    assert sharded.shape == single.shape == (96, 80, 1)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
