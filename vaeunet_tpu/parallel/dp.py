@@ -33,17 +33,18 @@ log = logging.getLogger(__name__)
 
 
 def make_dp_train_step(config: TrainConfig, mesh: Mesh, model=None,
-                       explicit: bool = False):
+                       explicit: bool = False, augment: bool = False):
     """-> step(state, images, masks, beta) with batch sharded over 'data'."""
     bsh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
     if not explicit:
-        step = make_train_step(config, model=model, jit=False)
+        step = make_train_step(config, model=model, augment=augment, jit=False)
         return jax.jit(step, in_shardings=(rep, bsh, bsh, rep),
                        out_shardings=None, donate_argnums=(0,))
 
-    inner = make_train_step(config, model=model, axis_name="data", jit=False)
+    inner = make_train_step(config, model=model, axis_name="data",
+                            augment=augment, jit=False)
     aux_spec = {"loss": P(), "recon_loss": P(), "kl_loss": P(),
                 "mu": P("data"), "logvar": P("data")}
     sharded = shard_map(
@@ -77,7 +78,7 @@ def train_model_dp(config: TrainConfig,
             f"effective batch {eff} not divisible by data axis {n_data}")
     log.info("Data-parallel training over mesh %s", dict(mesh.shape))
 
-    train_step = make_dp_train_step(config, mesh)
+    train_step = make_dp_train_step(config, mesh, augment=True)
     eval_step = make_dp_eval_step(config, mesh)
 
     def place(images, masks):

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vaeunet_tpu.data.augment import augment_batch
 from vaeunet_tpu.data.dataset import IDRIDDataset
 from vaeunet_tpu.data.loader import Loader
 from vaeunet_tpu.losses import KLAnnealer
@@ -125,9 +124,11 @@ def train_model(config: TrainConfig,
         hw = (train_dataset.patch_size, train_dataset.patch_size)
     else:
         hw = tuple(train_dataset[0]["image"].shape[:2])
-    state_rng, aug_rng, eval_rng, rng = jax.random.split(rng, 4)
+    state_rng, eval_rng, rng = jax.random.split(rng, 3)
     state = create_train_state(config, state_rng, hw, variables=variables)
-    train_step = train_step or make_train_step(config)
+    # default steps fold the augmentation policy into the compiled program;
+    # custom steps (e.g. the DP factory) are expected to do the same
+    train_step = train_step or make_train_step(config, augment=True)
     eval_step = eval_step or make_eval_step(config)
 
     annealer = KLAnnealer(kl_start=0.0, kl_end=config.beta,
@@ -231,8 +232,6 @@ def train_model(config: TrainConfig,
         for batch_idx, batch in enumerate(train_loader):
             images = jnp.asarray(batch["image"])
             masks = jnp.asarray(batch["mask"])
-            aug_rng, sub = jax.random.split(aug_rng)
-            images, masks = augment_batch(sub, images, masks)
             if place_batch is not None:
                 images, masks = place_batch(images, masks)
             new_state, aux = train_step(state, images, masks, jnp.float32(beta))

@@ -59,6 +59,7 @@ def _forward_loss(model, criterion, config: TrainConfig, params, batch_stats,
 def make_train_step(config: TrainConfig, model=None,
                     criterion: Optional[Callable] = None,
                     axis_name: Optional[str] = None,
+                    augment: bool = False,
                     jit: bool = True):
     """Build the train step.
 
@@ -68,6 +69,10 @@ def make_train_step(config: TrainConfig, model=None,
     config.gradient_accumulation_steps > 1 it is split into microbatches that
     are scanned sequentially (grads averaged, BN stats threaded), giving the
     reference's effective-batch semantics at constant memory.
+
+    `augment`: fold the on-device augmentation policy into the same compiled
+    program (the training loop enables this — one dispatch per step instead
+    of two, and no HBM round trip between augment and forward).
 
     `axis_name`: when set, gradients/aux are psum-averaged across that mesh
     axis (data parallelism; used by vaeunet_tpu.parallel).
@@ -82,6 +87,11 @@ def make_train_step(config: TrainConfig, model=None,
         if axis_name is not None:
             # decorrelate the latent noise across data-parallel shards
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        if augment:
+            from vaeunet_tpu.data.augment import augment_sample
+            rng, aug_rng = jax.random.split(rng)
+            keys = jax.random.split(aug_rng, images.shape[0])
+            images, masks = jax.vmap(augment_sample)(keys, images, masks)
         grad_fn = jax.grad(
             functools.partial(_forward_loss, model, criterion, config),
             has_aux=True)
