@@ -66,6 +66,18 @@ def get_args():
     parser.add_argument("--checkpoint-dir", type=str, default="./checkpoints")
     parser.add_argument("--num-devices", type=int, default=1,
                         help="Data-parallel devices (1 = single chip)")
+    parser.add_argument("--lr-patience", type=int, default=None,
+                        help="Plateau-LR patience override (validations)")
+    parser.add_argument("--lr-factor", type=float, default=None,
+                        help="Plateau-LR decay factor override")
+    parser.add_argument("--no-device-cache", dest="device_cache",
+                        action="store_false", default=True,
+                        help="Disable the HBM-resident dataset (falls back "
+                        "to host-fed batches)")
+    parser.add_argument("--debug-nans", action="store_true", default=False,
+                        help="Enable jax_debug_nans and disable buffer "
+                        "donation (NaN post-mortem; the reference's NaN "
+                        "guards as a debug mode)")
     parser.set_defaults(use_attention=True, use_skip=True)
     return parser.parse_args()
 
@@ -109,6 +121,10 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         use_remat=args.use_checkpointing,
         num_devices=args.num_devices,
+        device_cache=args.device_cache,
+        debug_nans=args.debug_nans,
+        lr_patience=args.lr_patience,
+        lr_factor=args.lr_factor,
     )
 
     variables = None

@@ -32,13 +32,16 @@ def _collate(samples) -> Dict[str, np.ndarray]:
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: Optional[bool] = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, index_only: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.drop_last = shuffle if drop_last is None else drop_last
         self.prefetch = prefetch
+        # index_only: device-resident data mode — batches carry only the
+        # sample indices; pixels never cross the host boundary.
+        self.index_only = index_only
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -61,6 +64,8 @@ class Loader:
             yield pad, rem
 
     def _make_batch(self, batch_idx, true_count) -> Dict:
+        if self.index_only:
+            return {"idx": batch_idx.astype(np.int32), "count": true_count}
         # native C++ thread-parallel gather when the dataset supports it
         # (patch mode + uint8 cache); python fallback otherwise
         batch = None

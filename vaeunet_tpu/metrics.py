@@ -28,20 +28,35 @@ import jax.numpy as jnp
 
 
 def _binarize(pred: jnp.ndarray, target: jnp.ndarray,
-              apply_sigmoid: bool = False):
+              apply_sigmoid: bool = False, valid=None):
+    """-> flat (pred01, target01, weight01).
+
+    `valid` is an optional [B] per-sample mask excluding padded rows (the
+    loader repeats samples to keep XLA shapes static); masked metrics equal
+    the unpadded computation exactly — the reference evaluates true-size
+    final batches (evaluate.py:39-99)."""
     pred = pred.astype(jnp.float32)
     if apply_sigmoid:
         pred = jax.nn.sigmoid(pred)
-    p = (pred > 0.5).astype(jnp.float32).reshape(-1)
-    t = (target.astype(jnp.float32) > 0.5).astype(jnp.float32).reshape(-1)
-    return p, t
+    p = (pred > 0.5).astype(jnp.float32)
+    t = (target.astype(jnp.float32) > 0.5).astype(jnp.float32)
+    if valid is None:
+        w = jnp.ones(p.size, jnp.float32)
+    else:
+        per = p.size // p.shape[0]
+        w = jnp.repeat(valid.astype(jnp.float32), per)
+        p = p.reshape(-1) * w
+        t = t.reshape(-1) * w
+        return p, t, w
+    return p.reshape(-1), t.reshape(-1), w
 
 
 def dice_score(pred: jnp.ndarray, target: jnp.ndarray,
-               epsilon: float = 1e-6, apply_sigmoid: bool = False) -> jnp.ndarray:
+               epsilon: float = 1e-6, apply_sigmoid: bool = False,
+               valid=None) -> jnp.ndarray:
     """Hard Dice at threshold 0.5; returns 1.0 when both sides are empty
     (metrics.py:32-33)."""
-    p, t = _binarize(pred, target, apply_sigmoid)
+    p, t, _ = _binarize(pred, target, apply_sigmoid, valid)
     intersection = jnp.sum(p * t)
     denominator = jnp.sum(p) + jnp.sum(t)
     dice = (2.0 * intersection + epsilon) / (denominator + epsilon)
@@ -66,16 +81,17 @@ def dice_loss_metric(pred: jnp.ndarray, target: jnp.ndarray,
     return 1.0 - fn(pred, target)
 
 
-def iou_score(pred, target, epsilon: float = 1e-6, apply_sigmoid: bool = False):
-    p, t = _binarize(pred, target, apply_sigmoid)
+def iou_score(pred, target, epsilon: float = 1e-6, apply_sigmoid: bool = False,
+              valid=None):
+    p, t, _ = _binarize(pred, target, apply_sigmoid, valid)
     intersection = jnp.sum(p * t)
     union = jnp.sum(p) + jnp.sum(t) - intersection
     return (intersection + epsilon) / (union + epsilon)
 
 
 def precision_recall(pred, target, epsilon: float = 1e-6,
-                     apply_sigmoid: bool = False):
-    p, t = _binarize(pred, target, apply_sigmoid)
+                     apply_sigmoid: bool = False, valid=None):
+    p, t, _ = _binarize(pred, target, apply_sigmoid, valid)
     tp = jnp.sum(p * t)
     fp = jnp.sum(p) - tp
     fn = jnp.sum(t) - tp
@@ -84,31 +100,36 @@ def precision_recall(pred, target, epsilon: float = 1e-6,
     return precision, recall
 
 
-def specificity(pred, target, epsilon: float = 1e-6, apply_sigmoid: bool = False):
-    p, t = _binarize(pred, target, apply_sigmoid)
-    tn = jnp.sum((1 - p) * (1 - t))
+def specificity(pred, target, epsilon: float = 1e-6, apply_sigmoid: bool = False,
+                valid=None):
+    p, t, w = _binarize(pred, target, apply_sigmoid, valid)
+    # tn over valid pixels only: w - p - t + p*t (p,t are already masked)
+    tn = jnp.sum(w) - jnp.sum(p) - jnp.sum(t) + jnp.sum(p * t)
     fp = jnp.sum(p) - jnp.sum(p * t)
     return (tn + epsilon) / (tn + fp + epsilon)
 
 
-def accuracy(pred, target, apply_sigmoid: bool = False):
-    p, t = _binarize(pred, target, apply_sigmoid)
-    return jnp.mean((p == t).astype(jnp.float32))
+def accuracy(pred, target, apply_sigmoid: bool = False, valid=None):
+    p, t, w = _binarize(pred, target, apply_sigmoid, valid)
+    eq = (p == t).astype(jnp.float32)
+    return jnp.sum(w * eq) / jnp.sum(w)
 
 
 def get_all_metrics(pred: jnp.ndarray, target: jnp.ndarray,
                     epsilon: float = 1e-6,
-                    apply_sigmoid: bool = False) -> Dict[str, jnp.ndarray]:
+                    apply_sigmoid: bool = False,
+                    valid=None) -> Dict[str, jnp.ndarray]:
     """dice/iou/precision/recall/specificity/accuracy at threshold 0.5.
-    (metrics.py:98-117).  jit-safe: returns traced scalars, not floats."""
-    prec, rec = precision_recall(pred, target, epsilon, apply_sigmoid)
+    (metrics.py:98-117).  jit-safe: returns traced scalars, not floats.
+    `valid` ([B] mask) excludes loader-padded rows without a recompile."""
+    prec, rec = precision_recall(pred, target, epsilon, apply_sigmoid, valid)
     return {
-        "dice": dice_score(pred, target, epsilon, apply_sigmoid),
-        "iou": iou_score(pred, target, epsilon, apply_sigmoid),
+        "dice": dice_score(pred, target, epsilon, apply_sigmoid, valid),
+        "iou": iou_score(pred, target, epsilon, apply_sigmoid, valid),
         "precision": prec,
         "recall": rec,
-        "specificity": specificity(pred, target, epsilon, apply_sigmoid),
-        "accuracy": accuracy(pred, target, apply_sigmoid),
+        "specificity": specificity(pred, target, epsilon, apply_sigmoid, valid),
+        "accuracy": accuracy(pred, target, apply_sigmoid, valid),
     }
 
 

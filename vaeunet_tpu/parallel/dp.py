@@ -56,10 +56,12 @@ def make_dp_train_step(config: TrainConfig, mesh: Mesh, model=None,
 
 
 def make_dp_eval_step(config: TrainConfig, mesh: Mesh, model=None):
+    """-> step(variables, images, masks, rng, valid); batch + per-sample
+    validity mask sharded over 'data'."""
     bsh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     step = make_eval_step(config, model=model, jit=False)
-    return jax.jit(step, in_shardings=(rep, bsh, bsh, rep))
+    return jax.jit(step, in_shardings=(rep, bsh, bsh, rep, bsh))
 
 
 def train_model_dp(config: TrainConfig,

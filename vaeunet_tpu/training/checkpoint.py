@@ -33,13 +33,31 @@ from vaeunet_tpu.training.state import TrainState
 log = logging.getLogger(__name__)
 
 
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
 def _checkpointer():
-    return ocp.StandardCheckpointer()
+    # singleton so async saves can be awaited across calls
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_saves():
+    """Block until any in-flight async save has committed to disk."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def save_checkpoint(run_dir: str, state: TrainState, config: TrainConfig,
                     host_state: Optional[Dict[str, Any]] = None,
-                    name: str = "best") -> str:
+                    name: str = "best", block: bool = False) -> str:
+    """Async by default: the state is staged to host synchronously (orbax),
+    then written to (slow, remote) storage in the background while training
+    continues — a best-dice save costs ~20s blocking on this filesystem.
+    Call wait_for_saves() (or pass block=True) before reading the files.
+    """
     run = Path(run_dir).absolute()
     run.mkdir(parents=True, exist_ok=True)
     (run / "config.json").write_text(config.to_json())
@@ -47,9 +65,11 @@ def save_checkpoint(run_dir: str, state: TrainState, config: TrainConfig,
         (run / "host_state.json").write_text(json.dumps(host_state))
     path = run / name
     ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # a previous save of this path may be live
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
-    log.info("Saved checkpoint to %s", path)
+    if block:
+        ckptr.wait_until_finished()
+    log.info("Saving checkpoint to %s%s", path, "" if block else " (async)")
     return str(path)
 
 
@@ -57,6 +77,7 @@ def restore_checkpoint(run_dir: str, state: TrainState,
                        name: str = "best") -> Tuple[TrainState, Dict[str, Any]]:
     """Restore into the structure of `state` (an abstract/real template)."""
     run = Path(run_dir).absolute()
+    wait_for_saves()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, state)
     restored = _checkpointer().restore(run / name, target)
     host_path = run / "host_state.json"

@@ -45,6 +45,12 @@ class TrainConfig:
     free_bits: float = 1e-3
     kl_anneal_epochs: int = 20
 
+    # plateau-LR overrides (None = the reference's per-lesion defaults,
+    # train.py:322-342; from-scratch encoders want a gentler schedule than
+    # the reference's pretrained-encoder tuning)
+    lr_patience: Optional[int] = None
+    lr_factor: Optional[float] = None
+
     # data (train.py:630-640, data_loading.py:45-47)
     data_dir: str = "./data"
     dataset_type: str = "idrid"             # 'idrid' | 'basic' (Carvana-style)
@@ -65,6 +71,14 @@ class TrainConfig:
     save_all_improvements: bool = False
     num_workers: int = 6                    # host-side prefetch threads
     use_remat: bool = False
+    # Keep the whole patch set resident in HBM as uint8 and gather batches
+    # on-device (data.device_cache). Auto-disabled when the set exceeds
+    # device_cache_max_bytes, in full-image mode, or under multi-device DP.
+    device_cache: bool = True
+    device_cache_max_bytes: int = 6_000_000_000
+    # Debug surface (SURVEY.md section 5 sanitizer row): jax_debug_nans +
+    # donation disabled so intermediate buffers survive for inspection.
+    debug_nans: bool = False
 
     # parallelism (TPU-native addition; 1 = single chip)
     num_devices: int = 1

@@ -43,30 +43,55 @@ log = logging.getLogger(__name__)
 
 
 def evaluate_model(eval_step, variables, loader: Loader, rng,
-                   max_samples: int = 4) -> Tuple[Dict[str, float], List]:
+                   max_samples: int = 4,
+                   device_data=None) -> Tuple[Dict[str, float], List]:
     """Average metrics over batches + collect <=max_samples visualization
-    triples (image, pred_probs, mask).  (evaluate.py:20-101)"""
-    sums: Dict[str, float] = {}
-    n_batches = 0
+    triples (image, pred_probs, mask).  (evaluate.py:20-101)
+
+    Padded rows of the final batch are excluded from the metrics via a
+    validity mask, so each per-batch metric equals the reference's
+    true-size-batch computation (evaluate.py:39-99); batches are then
+    averaged with equal weight exactly as the reference does.
+
+    `device_data`: a data.device_cache.DeviceCache — batches arrive as
+    index vectors and are gathered on-device by the indexed eval step.
+    Metric scalars stay on device until one fetch at the end (each host
+    round-trip costs ~30ms on the tunneled backend).
+    """
+    per_batch: List[Dict] = []
     samples = []
+    b = loader.batch_size
     for batch in loader:
         rng, sub = jax.random.split(rng)
-        metrics, logits = eval_step(variables, jnp.asarray(batch["image"]),
-                                    jnp.asarray(batch["mask"]), sub)
-        n_batches += 1
-        for k, v in metrics.items():
-            sums[k] = sums.get(k, 0.0) + float(v)
+        count = int(batch["count"])
+        valid = jnp.asarray((np.arange(b) < count).astype(np.float32))
+        if device_data is not None:
+            idx = jnp.asarray(batch["idx"])
+            metrics, logits = eval_step(variables, device_data.images,
+                                        device_data.masks, idx, sub, valid)
+        else:
+            metrics, logits = eval_step(variables, jnp.asarray(batch["image"]),
+                                        jnp.asarray(batch["mask"]), sub, valid)
+        per_batch.append(metrics)
         if len(samples) < max_samples:
             probs = jax.nn.sigmoid(logits)
-            take = min(max_samples - len(samples), int(batch["count"]))
+            take = min(max_samples - len(samples), count)
             for i in range(take):
-                samples.append((np.asarray(batch["image"][i]),
-                                np.asarray(probs[i]),
-                                np.asarray(batch["mask"][i]),
-                                batch["img_id"][i]))
-    if n_batches == 0:
+                if device_data is not None:
+                    img, mask = device_data.fetch(batch["idx"][i:i + 1])
+                    img, mask = img[0], mask[0]
+                    img_id = device_data.img_ids[int(batch["idx"][i])]
+                else:
+                    img = np.asarray(batch["image"][i])
+                    mask = np.asarray(batch["mask"][i])
+                    img_id = batch["img_id"][i]
+                samples.append((img, np.asarray(probs[i]), mask, img_id))
+    if not per_batch:
         return {}, []
-    return {k: v / n_batches for k, v in sums.items()}, samples
+    # one host fetch for the whole pass
+    stacked = jax.tree.map(lambda *v: jnp.stack(v), *per_batch)
+    fetched = jax.device_get(stacked)
+    return {k: float(np.mean(v)) for k, v in fetched.items()}, samples
 
 
 def train_model(config: TrainConfig,
@@ -104,11 +129,28 @@ def train_model(config: TrainConfig,
 
     log.info("Dataset sizes: train=%d val=%d", len(train_dataset), len(val_dataset))
 
+    # Device-resident data (data.device_cache): upload all patches to HBM
+    # once as uint8; epochs then never move pixels over the host link
+    # (measured: 92s/epoch of H2D at scale 0.5 / patch 512 without this).
+    # Host-loader fallback for custom steps (DP), explicit placement, or
+    # datasets too large for HBM.
+    device_train = device_val = None
+    if (config.device_cache and train_step is None and eval_step is None
+            and place_batch is None and config.num_devices <= 1):
+        from vaeunet_tpu.data.device_cache import DeviceCache, estimate_bytes
+        est = estimate_bytes(train_dataset) + estimate_bytes(val_dataset)
+        if est <= config.device_cache_max_bytes:
+            device_train = DeviceCache(train_dataset)
+            device_val = DeviceCache(val_dataset)
+            log.info("Device-resident data: %.0f MB resident in HBM", est / 1e6)
+        else:
+            log.info("Device cache skipped: %.1f GB exceeds limit", est / 1e9)
+
     eff_batch = config.batch_size * max(1, config.gradient_accumulation_steps)
     train_loader = Loader(train_dataset, eff_batch, shuffle=True,
-                          seed=config.seed)
+                          seed=config.seed, index_only=device_train is not None)
     val_loader = Loader(val_dataset, config.batch_size, shuffle=False,
-                        drop_last=False)
+                        drop_last=False, index_only=device_val is not None)
     if len(train_loader) == 0:
         raise RuntimeError(
             f"Train set smaller than effective batch ({eff_batch})")
@@ -128,12 +170,18 @@ def train_model(config: TrainConfig,
     state = create_train_state(config, state_rng, hw, variables=variables)
     # default steps fold the augmentation policy into the compiled program;
     # custom steps (e.g. the DP factory) are expected to do the same
-    train_step = train_step or make_train_step(config, augment=True)
-    eval_step = eval_step or make_eval_step(config)
+    train_step = train_step or make_train_step(
+        config, augment=True, indexed=device_train is not None)
+    eval_step = eval_step or make_eval_step(
+        config, indexed=device_val is not None)
 
     annealer = KLAnnealer(kl_start=0.0, kl_end=config.beta,
                           warmup_epochs=config.kl_anneal_epochs)
     scheduler = ReduceLROnPlateau.for_lesion(config.lesion_type)
+    if config.lr_patience is not None:
+        scheduler.patience = config.lr_patience
+    if config.lr_factor is not None:
+        scheduler.factor = config.lr_factor
     is_vae = config.model_type == "resnet"
 
     best_val_score = float("-inf")
@@ -163,7 +211,8 @@ def train_model(config: TrainConfig,
         nonlocal best_val_score, no_improvement, eval_rng
         eval_rng, sub = jax.random.split(eval_rng)
         val_metrics, val_samples = evaluate_model(
-            eval_step, state.variables(), val_loader, sub, max_samples=4)
+            eval_step, state.variables(), val_loader, sub, max_samples=4,
+            device_data=device_val)
         val_score = val_metrics.get("dice", 0.0)
         lr = get_learning_rate(state)
         new_lr = scheduler.step(val_score, lr)
@@ -209,36 +258,46 @@ def train_model(config: TrainConfig,
         log.info("Epoch %d: KL weight (beta) %.6f", epoch, beta)
         epoch_mu, epoch_logvar = [], []
         steps_per_epoch = len(train_loader)
-        pending = None  # (aux, step, batch_idx) fetched one step late so the
-        # host->device log sync overlaps the next step's compute
+        pending: List[Tuple[Dict, int, int]] = []  # (aux, step, batch_idx)
+        # aux stays on device until a validation point; each host fetch is a
+        # ~30ms round-trip AND a full pipeline sync on the tunneled backend,
+        # so per-step float() reads would serialize every dispatch.
 
         def flush_pending():
             nonlocal pending
-            if pending is None:
+            if not pending:
                 return
-            aux, step_no, bidx = pending
-            pending = None
-            if bidx % 5 == 0 and is_vae:
-                epoch_mu.append(np.asarray(aux["mu"]))
-                epoch_logvar.append(np.asarray(aux["logvar"]))
-            tracker.log({
-                "train/total_loss": float(aux["loss"]),
-                "train/kl_loss": float(aux["kl_loss"]),
-                "train/kl_weight": beta,
-                "train/reconstruction_loss": float(aux["recon_loss"]),
-                "step": step_no, "epoch": epoch,
-            }, step=step_no)
+            stacked = jax.tree.map(lambda *v: jnp.stack(v),
+                                   *[p[0] for p in pending])
+            fetched = jax.device_get(stacked)  # one sync for the whole span
+            for j, (_, step_no, bidx) in enumerate(pending):
+                if bidx % 5 == 0 and is_vae:
+                    epoch_mu.append(fetched["mu"][j])
+                    epoch_logvar.append(fetched["logvar"][j])
+                tracker.log({
+                    "train/total_loss": float(fetched["loss"][j]),
+                    "train/kl_loss": float(fetched["kl_loss"][j]),
+                    "train/kl_weight": beta,
+                    "train/reconstruction_loss": float(fetched["recon_loss"][j]),
+                    "step": step_no, "epoch": epoch,
+                }, step=step_no)
+            pending = []
 
         for batch_idx, batch in enumerate(train_loader):
-            images = jnp.asarray(batch["image"])
-            masks = jnp.asarray(batch["mask"])
-            if place_batch is not None:
-                images, masks = place_batch(images, masks)
-            new_state, aux = train_step(state, images, masks, jnp.float32(beta))
+            if device_train is not None:
+                new_state, aux = train_step(
+                    state, device_train.images, device_train.masks,
+                    jnp.asarray(batch["idx"]), jnp.float32(beta))
+            else:
+                images = jnp.asarray(batch["image"])
+                masks = jnp.asarray(batch["mask"])
+                if place_batch is not None:
+                    images, masks = place_batch(images, masks)
+                new_state, aux = train_step(state, images, masks,
+                                            jnp.float32(beta))
             state = new_state
             global_step += 1
-            flush_pending()
-            pending = (aux, global_step, batch_idx)
+            pending.append((aux, global_step, batch_idx))
 
             current = batch_idx + 1
             if current == steps_per_epoch // 2 or current == steps_per_epoch:
@@ -250,6 +309,8 @@ def train_model(config: TrainConfig,
                 if stop:
                     log.info("Early stopping triggered after %d epochs", epoch)
                     tracker.finish(early_stopped=True, final_epoch=epoch)
+                    from vaeunet_tpu.training.checkpoint import wait_for_saves
+                    wait_for_saves()
                     return state
 
         flush_pending()
@@ -267,4 +328,6 @@ def train_model(config: TrainConfig,
     log.info("Training done in %.1fs (best dice %.4f)",
              time.time() - t_start, best_val_score)
     tracker.finish()
+    from vaeunet_tpu.training.checkpoint import wait_for_saves
+    wait_for_saves()
     return state

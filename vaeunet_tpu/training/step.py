@@ -60,10 +60,17 @@ def make_train_step(config: TrainConfig, model=None,
                     criterion: Optional[Callable] = None,
                     axis_name: Optional[str] = None,
                     augment: bool = False,
+                    indexed: bool = False,
                     jit: bool = True):
     """Build the train step.
 
     step(state, images, masks, beta) -> (state, aux)
+
+    `indexed`: device-resident-data variant with signature
+    step(state, data_images_u8, data_masks_u8, idx, beta) — the batch is
+    gathered from the HBM-resident dataset and normalized inside the same
+    compiled program (see data.device_cache), so the host never touches
+    pixels during an epoch.
 
     `images` is [accum * micro_batch, H, W, C]; with
     config.gradient_accumulation_steps > 1 it is split into microbatches that
@@ -81,6 +88,14 @@ def make_train_step(config: TrainConfig, model=None,
     criterion = criterion or make_criterion(config.lesion_type)
     tx = make_optimizer(config)
     accum = max(1, config.gradient_accumulation_steps)
+    # Debug surface (--debug-nans): raise on the op that produced a NaN and
+    # keep buffers un-donated so they can be inspected post-mortem. The
+    # TPU-native analogue of the reference's pervasive NaN guards
+    # (loss.py:12-14,152-168).
+    donate = (0,)
+    if config.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+        donate = ()
 
     def step(state: TrainState, images, masks, beta):
         rng, new_rng = jax.random.split(state.rng)
@@ -143,8 +158,19 @@ def make_train_step(config: TrainConfig, model=None,
                                   rng=new_rng)
         return new_state, aux
 
+    if indexed:
+        from vaeunet_tpu.data.device_cache import gather_batch_device
+
+        def indexed_step(state, data_images, data_masks, idx, beta):
+            images, masks = gather_batch_device(data_images, data_masks, idx)
+            return step(state, images, masks, beta)
+
+        if jit:
+            return jax.jit(indexed_step, donate_argnums=donate)
+        return indexed_step
+
     if jit:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=donate)
     return step
 
 
@@ -182,10 +208,16 @@ def multi_temp_training_step(config: TrainConfig, model, variables, images,
 def make_eval_step(config: TrainConfig, model=None,
                    apply_sigmoid_for_metrics: bool = False,
                    axis_name: Optional[str] = None,
+                   indexed: bool = False,
                    jit: bool = True):
     """Validation step rebuilding reference evaluate.py:20-101.
 
-    eval_step(variables, images, masks, rng) -> (metrics, logits)
+    eval_step(variables, images, masks, rng, valid=None) -> (metrics, logits)
+
+    `valid` ([B] 0/1 mask) excludes loader-padded rows from the metrics so a
+    padded final batch scores exactly like the reference's true-size batch
+    (evaluate.py:39-99).  `indexed` swaps (images, masks) for
+    (data_images_u8, data_masks_u8, idx) gathered on-device.
 
     Keeps the reference semantics: eval-mode BN (running stats) but a
     *sampled* z when the injection strategy samples (the reference's forward
@@ -198,7 +230,7 @@ def make_eval_step(config: TrainConfig, model=None,
     model = model or build_model(config)
     is_vae = isinstance(model, UNetResNet)
 
-    def step(variables, images, masks, rng):
+    def step(variables, images, masks, rng, valid=None):
         if config.amp:
             images = images.astype(jnp.bfloat16)
         if is_vae:
@@ -210,10 +242,22 @@ def make_eval_step(config: TrainConfig, model=None,
         if logits.shape[1:3] != masks.shape[1:3]:
             logits = resize_bilinear(logits, masks.shape[1:3], align_corners=True)
         metrics = get_all_metrics(logits, masks,
-                                  apply_sigmoid=apply_sigmoid_for_metrics)
+                                  apply_sigmoid=apply_sigmoid_for_metrics,
+                                  valid=valid)
         if axis_name is not None:
             metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
         return metrics, logits
+
+    if indexed:
+        from vaeunet_tpu.data.device_cache import gather_batch_device
+
+        def indexed_step(variables, data_images, data_masks, idx, rng, valid):
+            images, masks = gather_batch_device(data_images, data_masks, idx)
+            return step(variables, images, masks, rng, valid)
+
+        if jit:
+            return jax.jit(indexed_step)
+        return indexed_step
 
     if jit:
         return jax.jit(step)
