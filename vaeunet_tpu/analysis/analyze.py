@@ -95,7 +95,7 @@ def analyze_model(model: UNetResNet, variables, dataset, args: AnalyzeArgs,
             samples, mu, logvar = segmentation_distribution(
                 model, variables, img_j, sub, num_samples=args.samples,
                 temperature=temperature, patch_size=args.patch_size,
-                tile_batch=args.batch_size)
+                tile_batch=args.batch_size, overlap=args.overlap)
             samples_np = np.asarray(samples)[..., 0]          # [N,H,W]
             gt = np.asarray(mask)[..., 0]                     # [H,W]
 

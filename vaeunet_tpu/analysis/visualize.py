@@ -44,7 +44,8 @@ def downsample_for_display(arr: np.ndarray, max_size: int = 512) -> np.ndarray:
 def plot_reconstruction(model: UNetResNet, variables, dataset, img_id: str,
                         rng, num_samples: int = 32,
                         patch_size: Optional[int] = None,
-                        temperature: float = 1.0, batch_size: int = 4):
+                        temperature: float = 1.0, batch_size: int = 4,
+                        overlap: Optional[int] = None):
     """3x3 uncertainty panel: input / GT / mean; std / entropy / MI; 3 samples.
     (visualize_vae.py:655-737)"""
     import matplotlib
@@ -55,7 +56,8 @@ def plot_reconstruction(model: UNetResNet, variables, dataset, img_id: str,
     img, mask = dataset.get_image_and_mask(img_id)
     samples, mu, logvar = segmentation_distribution(
         model, variables, jnp.asarray(img), rng, num_samples=num_samples,
-        temperature=temperature, patch_size=patch_size, tile_batch=batch_size)
+        temperature=temperature, patch_size=patch_size, tile_batch=batch_size,
+        overlap=overlap)
     metrics = uncertainty_maps(samples)
     samples = np.asarray(samples)
 
@@ -109,10 +111,11 @@ def _encode(model, variables, image):
     return model.apply(variables, image, False, method=UNetResNet.encode)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
 def _mean_prediction_at_temperature(model, variables, image, mu, logvar, rng,
                                     temperature, samples_per_temp,
-                                    should_sample, patch_size, batch_size):
+                                    should_sample, patch_size, batch_size,
+                                    overlap=None):
     """Mean sigmoid map over samples_per_temp draws at one temperature."""
     h, w = image.shape[0], image.shape[1]
     keys = jax.random.split(rng, samples_per_temp)
@@ -120,7 +123,8 @@ def _mean_prediction_at_temperature(model, variables, image, mu, logvar, rng,
     zs = jax.vmap(lambda k: sample_from_latent(mu, logvar, k, t)[0])(keys)
     if patch_size is not None and (h > patch_size or w > patch_size):
         preds = predict_tiled_ensemble(model, variables, image, zs,
-                                       patch_size, batch_size=batch_size)
+                                       patch_size, overlap=overlap,
+                                       batch_size=batch_size)
     else:
         _, _, features = model.apply(variables, image[None], False,
                                      method=UNetResNet.encode_with_features)
@@ -144,7 +148,8 @@ def visualize_temperature_sampling(model, variables, image, mask, rng,
                                    temperatures: Sequence[float] = (0.5, 1.0, 2.0, 3.0),
                                    samples_per_temp: int = 5,
                                    patch_size: Optional[int] = None,
-                                   batch_size: int = 4):
+                                   batch_size: int = 4,
+                                   overlap: Optional[int] = None):
     """Grid: per-temperature mean and std rows.  (visualize_vae.py:740-866)"""
     import matplotlib
     matplotlib.use("Agg")
@@ -168,7 +173,8 @@ def visualize_temperature_sampling(model, variables, image, mask, rng,
         tt = t if should_sample else 0.0
         preds, _, _ = segmentation_distribution(
             model, variables, image, sub, num_samples=samples_per_temp,
-            temperature=tt, patch_size=patch_size, tile_batch=batch_size)
+            temperature=tt, patch_size=patch_size, tile_batch=batch_size,
+            overlap=overlap)
         mean = np.asarray(jnp.mean(preds, axis=0))[..., 0]
         std = np.asarray(jnp.std(preds, axis=0))[..., 0]
         axes[0, i + 1].imshow(downsample_for_display(mean), cmap="gray")
@@ -187,7 +193,8 @@ def generate_and_compare_ensemble(model, variables, image, mask, rng,
                                   samples_per_temp: int = 5,
                                   weighted: bool = True,
                                   patch_size: Optional[int] = 512,
-                                  batch_size: int = 4):
+                                  batch_size: int = 4,
+                                  overlap: Optional[int] = None):
     """Multi-temperature ensemble with the reference's weighting
     1/(|T-1|+0.5) and Dice bar chart.  (visualize_vae.py:869-1080)
     -> (fig, dict of per-T and ensemble Dice)"""
@@ -206,7 +213,7 @@ def generate_and_compare_ensemble(model, variables, image, mask, rng,
         rng, sub = jax.random.split(rng)
         mean_pred = _mean_prediction_at_temperature(
             model, variables, image, mu, logvar, sub, t, samples_per_temp,
-            should_sample, patch_size, batch_size)
+            should_sample, patch_size, batch_size, overlap)
         temp_preds[t] = np.asarray(mean_pred)[..., 0]
         dice_scores.append(_hard_dice(temp_preds[t], mask_np))
         log.info("T=%.2f dice %.4f", t, dice_scores[-1])

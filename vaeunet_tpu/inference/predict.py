@@ -70,16 +70,19 @@ def predict_image(model, variables, image: jnp.ndarray,
     return probs, mask
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 4, 6, 7, 8))
 def segmentation_distribution(model: UNetResNet, variables, image: jnp.ndarray,
                               rng: jax.Array, num_samples: int = 5,
                               temperature: float = 1.0,
                               patch_size: Optional[int] = None,
-                              tile_batch: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                              tile_batch: int = 8,
+                              overlap: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (samples [N,H,W,1] sigmoid maps, mu, logvar) for one [H,W,C] image.
 
     Encode once; draw N tempered latents; decode per sample — tiled when
     `patch_size` is given (and the image is larger), full otherwise.
+    `overlap` overrides the adaptive tile overlap (the reference forwards
+    its --overlap flag here, analyze_model.py:787).
     (visualize_vae.py:578-652)
     """
     h, w = image.shape[0], image.shape[1]
@@ -90,7 +93,8 @@ def segmentation_distribution(model: UNetResNet, variables, image: jnp.ndarray,
 
     if patch_size is not None and (h > patch_size or w > patch_size):
         samples = predict_tiled_ensemble(model, variables, image, zs,
-                                         patch_size, batch_size=tile_batch)
+                                         patch_size, overlap=overlap,
+                                         batch_size=tile_batch)
     else:
         _, _, features = model.apply(variables, image[None], False,
                                      method=UNetResNet.encode_with_features)

@@ -90,7 +90,8 @@ def main():
                                   num_samples=args.samples,
                                   patch_size=args.patch_size,
                                   temperature=args.temperature,
-                                  batch_size=args.batch_size)
+                                  batch_size=args.batch_size,
+                                  overlap=args.overlap)
         fig.savefig(out_dir / f"{img_id}_{timestamp}.png", dpi=150,
                     bbox_inches="tight")
         import matplotlib.pyplot as plt
@@ -104,7 +105,8 @@ def main():
                     model, variables, img, mask, sub,
                     temperatures=args.temperatures,
                     samples_per_temp=args.samples,
-                    patch_size=args.patch_size, batch_size=args.batch_size)
+                    patch_size=args.patch_size, batch_size=args.batch_size,
+                    overlap=args.overlap)
                 fig.savefig(out_dir / f"{img_id}_{timestamp}_temps.png",
                             dpi=150, bbox_inches="tight")
                 plt.close(fig)
@@ -114,7 +116,8 @@ def main():
                     model, variables, img, mask, sub,
                     temperatures=args.temperatures,
                     samples_per_temp=args.samples, weighted=args.weighted,
-                    patch_size=args.patch_size, batch_size=args.batch_size)
+                    patch_size=args.patch_size, batch_size=args.batch_size,
+                    overlap=args.overlap)
                 fig.savefig(out_dir / f"{img_id}_{timestamp}_ensemble.png",
                             dpi=150, bbox_inches="tight")
                 plt.close(fig)
