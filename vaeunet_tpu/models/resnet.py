@@ -23,8 +23,21 @@ from typing import List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vaeunet_tpu.ops.fused import fused_conv_bn_enabled
 from vaeunet_tpu.ops.layers import BatchNorm, Conv
 from vaeunet_tpu.ops.pool import max_pool
+
+
+def conv3x3_bn(x, features, stride, train, conv_name, bn_name):
+    """conv3x3(s)-BN pair; routes through the fused conv+BN-stats Pallas
+    kernel on the training path when enabled (stride-1 only)."""
+    conv = Conv(features, kernel_size=3, stride=stride, padding=1,
+                use_bias=False, name=conv_name)
+    bn = BatchNorm(features, name=bn_name)
+    if train and stride == 1 and features == 64 and fused_conv_bn_enabled():
+        y, s, q = conv(x, collect_stats=True)
+        return bn(y, use_running_average=False, moments=(s, q))
+    return bn(conv(x), use_running_average=not train)
 
 
 class BasicBlock(nn.Module):
@@ -36,13 +49,9 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        y = Conv(self.features, kernel_size=3, stride=self.stride, padding=1,
-                 use_bias=False, name="conv1")(x)
-        y = BatchNorm(self.features, name="bn1")(y, use_running_average=not train)
+        y = conv3x3_bn(x, self.features, self.stride, train, "conv1", "bn1")
         y = nn.relu(y)
-        y = Conv(self.features, kernel_size=3, padding=1, use_bias=False,
-                 name="conv2")(y)
-        y = BatchNorm(self.features, name="bn2")(y, use_running_average=not train)
+        y = conv3x3_bn(y, self.features, 1, train, "conv2", "bn2")
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = Conv(self.features, kernel_size=1, stride=self.stride,
                             use_bias=False, name="downsample_conv")(x)
@@ -65,9 +74,7 @@ class BottleneckBlock(nn.Module):
         y = Conv(self.features, kernel_size=1, use_bias=False, name="conv1")(x)
         y = BatchNorm(self.features, name="bn1")(y, use_running_average=not train)
         y = nn.relu(y)
-        y = Conv(self.features, kernel_size=3, stride=self.stride, padding=1,
-                 use_bias=False, name="conv2")(y)
-        y = BatchNorm(self.features, name="bn2")(y, use_running_average=not train)
+        y = conv3x3_bn(y, self.features, self.stride, train, "conv2", "bn2")
         y = nn.relu(y)
         y = Conv(out_features, kernel_size=1, use_bias=False, name="conv3")(y)
         y = BatchNorm(out_features, name="bn3")(y, use_running_average=not train)

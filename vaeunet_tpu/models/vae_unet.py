@@ -70,18 +70,36 @@ def resolve_injection(latent_injection: LatentInjection) -> Tuple[Tuple[bool, ..
 class AttentionGate(nn.Module):
     """Same additive gate as parts.AttentionGate but with the unet_resnet
     channel plan (unet_resnet.py:6-29): gate signal g is the upsampled decoder
-    feature, x is the skip."""
+    feature, x is the skip.
+
+    ``resize_to``: pass the decoder feature at its *pre-upsample* resolution
+    and let the gate upsample AFTER its 1x1 projection.  A 1x1 conv is a
+    per-pixel channel matmul and bilinear resize is a per-channel spatial
+    matmul, so ``W_g(resize(g)) == resize(W_g(g))`` exactly (up to fp
+    rounding) — but the commuted order reads the C_in-channel tensor at 1/4
+    the pixels and runs the resize on f_int channels instead of C_in.  HLO
+    attribution showed the gate's reads of the upsampled decoder feature
+    were the single hottest item in the train step (~30% of estimated
+    cycles, most of it in decoder_3 where that tensor is 268 MB).
+    """
 
     f_int: int
+    exact: bool = False   # strict parity mode: conv-emitter 1x1 lowering
 
     @nn.compact
-    def __call__(self, g, x, train: bool = False):
-        g1 = Conv(self.f_int, kernel_size=1, name="W_g_conv")(g)
+    def __call__(self, g, x, train: bool = False,
+                 resize_to: Optional[Tuple[int, int]] = None):
+        dot = not self.exact
+        g1 = Conv(self.f_int, kernel_size=1, name="W_g_conv",
+                  use_dot_1x1=dot)(g)
+        if resize_to is not None and tuple(g.shape[1:3]) != tuple(resize_to):
+            g1 = resize_bilinear(g1, resize_to, align_corners=True)
         g1 = BatchNorm(self.f_int, name="W_g_bn")(g1, use_running_average=not train)
-        x1 = Conv(self.f_int, kernel_size=1, name="W_x_conv")(x)
+        x1 = Conv(self.f_int, kernel_size=1, name="W_x_conv",
+                  use_dot_1x1=dot)(x)
         x1 = BatchNorm(self.f_int, name="W_x_bn")(x1, use_running_average=not train)
         psi = nn.relu(g1 + x1)
-        psi = Conv(1, kernel_size=1, name="psi_conv")(psi)
+        psi = Conv(1, kernel_size=1, name="psi_conv", use_dot_1x1=dot)(psi)
         psi = BatchNorm(1, name="psi_bn")(psi, use_running_average=not train)
         psi = nn.sigmoid(psi)
         # capturable attention map — the functional replacement for the
@@ -116,10 +134,14 @@ class DecoderBlock(nn.Module):
 
     def setup(self):
         if self.use_latent:
-            self.z_proj_conv = Conv(self.latent_dim, kernel_size=1, name="z_proj_conv")
+            self.z_proj_conv = Conv(self.latent_dim, kernel_size=1,
+                                    name="z_proj_conv",
+                                    use_dot_1x1=self.fused)
             self.z_proj_bn = BatchNorm(self.latent_dim, name="z_proj_bn")
         if self.use_attention and self.use_skip:
-            self.attention = AttentionGate(self.in_channels // 4, name="attention")
+            self.attention = AttentionGate(self.in_channels // 4,
+                                           exact=not self.fused,
+                                           name="attention")
         total_in = (self.in_channels
                     + (self.skip_channels if self.use_skip else 0)
                     + (self.latent_dim if self.use_latent else 0))
@@ -140,10 +162,17 @@ class DecoderBlock(nn.Module):
             out_hw = skip.shape[1:3]
         else:
             out_hw = (x.shape[1] * 2, x.shape[2] * 2)
-        x = resize_bilinear(x, out_hw, align_corners=True)
 
-        if skip is not None and self.use_skip and self.use_attention:
-            skip = self.attention(x, skip, train=train)
+        if self.fused:
+            # gate from the pre-upsample decoder feature (commuted 1x1
+            # projection — see AttentionGate docstring), then upsample x
+            if skip is not None and self.use_skip and self.use_attention:
+                skip = self.attention(x, skip, train=train, resize_to=out_hw)
+            x = resize_bilinear(x, out_hw, align_corners=True)
+        else:
+            x = resize_bilinear(x, out_hw, align_corners=True)
+            if skip is not None and self.use_skip and self.use_attention:
+                skip = self.attention(x, skip, train=train)
         has_skip = skip is not None and self.use_skip
 
         if self.fused:
@@ -209,14 +238,18 @@ class UNetResNet(nn.Module):
                                      name="encoder")
         enc_ch = self.encoder.feature_channels  # resnet34: [64,64,128,256,512]
 
-        self.mu_conv = Conv(self.latent_dim, kernel_size=1, name="mu_conv")
-        self.logvar_conv = Conv(self.latent_dim, kernel_size=1, name="logvar_conv")
+        dot = self.fused_decoder
+        self.mu_conv = Conv(self.latent_dim, kernel_size=1, name="mu_conv",
+                            use_dot_1x1=dot)
+        self.logvar_conv = Conv(self.latent_dim, kernel_size=1,
+                                name="logvar_conv", use_dot_1x1=dot)
 
         # bottleneck projection width = encoder bottleneck channels
         # (512 for resnet34, reproducing unet_resnet.py:150-154 exactly;
         # scales to 2048 for bottleneck backbones)
         bott = enc_ch[-1]
-        self.z_initial_conv = Conv(bott, kernel_size=1, name="z_initial_conv")
+        self.z_initial_conv = Conv(bott, kernel_size=1, name="z_initial_conv",
+                                   use_dot_1x1=self.fused_decoder)
         self.z_initial_bn = BatchNorm(bott, name="z_initial_bn")
 
         plans = [  # (in_ch, skip_ch, out_ch) per unet_resnet.py:181-186
@@ -235,7 +268,9 @@ class UNetResNet(nn.Module):
                          name=f"decoder_{i}")
             for i, (in_ch, skip_ch, out_ch) in enumerate(plans)
         ]
-        self.final_conv = Conv(self.n_classes, kernel_size=1, name="final_conv")
+        self.final_conv = Conv(self.n_classes, kernel_size=1,
+                               name="final_conv",
+                               use_dot_1x1=self.fused_decoder)
 
     # ----- pieces -------------------------------------------------------
 

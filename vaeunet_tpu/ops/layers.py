@@ -58,25 +58,49 @@ class Conv(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     dtype: Optional[jnp.dtype] = None
+    # 1x1/s1 convs lower to a channel dot_general by default (layout
+    # freedom, see __call__); set False for the bit-exact conv-emitter
+    # lowering the strict parity mode requires.
+    use_dot_1x1: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, collect_stats: bool = False):
         in_features = x.shape[-1]
         k = self.kernel_size
         kernel_shape = (k, k, in_features // self.feature_group_count, self.features)
         kernel = self.param("kernel", torch_conv_kernel_init, kernel_shape)
         dtype = self.dtype or x.dtype
+        if collect_stats:
+            # Fused conv + BN-statistics epilogue (training path): returns
+            # (y, sum_c, sumsq_c) so the downstream BatchNorm skips its
+            # full-tensor HBM sweep.  Only defined for the 3x3/s1/p1
+            # bias-free shape the kernel supports.
+            assert (k == 3 and self.stride == 1 and self.padding == 1
+                    and not self.use_bias and self.feature_group_count == 1)
+            from vaeunet_tpu.ops.pallas.conv_bn_stats import conv3x3_bn_stats
+            return conv3x3_bn_stats(
+                x.astype(dtype), kernel.astype(dtype), dtype,
+                16, jax.default_backend() not in ("tpu",))
         # NB: no preferred_element_type here — the TPU MXU already
         # accumulates bf16 convs in fp32, and setting it breaks the VJP
         # (fp32 cotangent vs bf16 kernel in the transpose conv).
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-        )
+        if (k == 1 and self.stride == 1 and self.feature_group_count == 1
+                and self.use_dot_1x1):
+            # 1x1 conv == per-pixel channel matmul; the dot_general lowering
+            # gives XLA layout freedom the conv emitter lacks (HLO showed
+            # pure layout copies around every attention-gate 1x1 conv).
+            y = lax.dot_general(
+                x.astype(dtype), kernel.astype(dtype)[0, 0],
+                dimension_numbers=(((3,), (0,)), ((), ())))
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding), (self.padding, self.padding)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+            )
         if self.use_bias:
             fan_in = k * k * (in_features // self.feature_group_count)
             bias = self.param("bias", torch_conv_bias_init_for(fan_in),
@@ -146,34 +170,52 @@ class SlicedConv(nn.Module):
         """Exact contribution of a spatially-constant input slice.
 
         For a constant map v, ``conv3x3_pad1(broadcast(v))[y, x] = v @ S(y, x)``
-        where S sums the kernel taps whose reads fall inside the image — 9
-        position classes (corner/edge/interior).  O(B*Dz*Co) compute plus a
-        cheap border assembly instead of an HxW conv over a broadcast tensor.
-        z_vec: [B, D]; returns [B, H, W, features].
+        where S sums the kernel taps whose reads fall inside the image.  By
+        inclusion-exclusion over the clipped taps,
+
+          S(y, x) = S_all - 1[y edge] * R(y) - 1[x edge] * C(x)
+                    + 1[corner] * X(y, x)
+
+        with R = the kernel row lost at a top/bottom edge, C = the column
+        lost at a left/right edge, X = the doubly-subtracted corner tap.
+        The term is therefore a [B,1,1,Co] broadcast plus iota-masked border
+        corrections — pure elementwise ops that XLA fuses into the consumer
+        add (and the following BN sweep) with **zero materialized HxW
+        tensors**.  (The previous concat-of-broadcasts assembly materialized
+        a [B,H-2,W,Co] buffer — 133 MB at decoder_3 — per HLO attribution.)
+        z_vec: [B, D]; returns [B, H, W, features] (lazily, as a fusible
+        broadcast expression).
         """
         h, w = int(out_hw[0]), int(out_hw[1])
         d = z_vec.shape[-1]
         kz = jax.lax.slice_in_dim(self.kernel, start, start + d, axis=2)
         kz = kz.astype(z_vec.dtype)
-        ky_sets = ((1, 2), (0, 1, 2), (0, 1))   # top / mid / bottom valid taps
-        kx_sets = ((1, 2), (0, 1, 2), (0, 1))   # left / mid / right
 
-        def taps(yc, xc):
-            m = sum(kz[ky, kx] for ky in ky_sets[yc] for kx in kx_sets[xc])
-            return z_vec @ m                    # [B, Co]
+        def proj(m):                             # [D, Co] -> [B,1,1,Co]
+            return (z_vec @ m)[:, None, None, :]
 
-        t = [[taps(yc, xc) for xc in range(3)] for yc in range(3)]
-        b = z_vec.shape[0]
-        co = self.features
+        s_all = proj(kz.sum((0, 1)))
+        r_top, r_bot = proj(kz[0].sum(0)), proj(kz[2].sum(0))
+        c_left, c_right = proj(kz[:, 0].sum(0)), proj(kz[:, 2].sum(0))
+        x_tl, x_tr = proj(kz[0, 0]), proj(kz[0, 2])
+        x_bl, x_br = proj(kz[2, 0]), proj(kz[2, 2])
 
-        def row(yc):
-            mid = jnp.broadcast_to(t[yc][1][:, None, :], (b, w - 2, co))
-            return jnp.concatenate(
-                [t[yc][0][:, None, :], mid, t[yc][2][:, None, :]], axis=1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+        top, bot = iy == 0, iy == h - 1
+        left, right = ix == 0, ix == w - 1
+        zero = jnp.zeros_like(s_all)
 
-        mid_rows = jnp.broadcast_to(row(1)[:, None], (b, h - 2, w, co))
-        return jnp.concatenate(
-            [row(0)[:, None], mid_rows, row(2)[:, None]], axis=1)
+        term = (s_all
+                - jnp.where(top, r_top, zero) - jnp.where(bot, r_bot, zero)
+                - jnp.where(left, c_left, zero)
+                - jnp.where(right, c_right, zero)
+                + jnp.where(top & left, x_tl, zero)
+                + jnp.where(top & right, x_tr, zero)
+                + jnp.where(bot & left, x_bl, zero)
+                + jnp.where(bot & right, x_br, zero))
+        b, co = z_vec.shape[0], self.features
+        return jnp.broadcast_to(term, (b, h, w, co))
 
 
 class BatchNorm(nn.Module):
@@ -193,7 +235,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True,
-                 virtual_n: Optional[int] = None):
+                 virtual_n: Optional[int] = None,
+                 moments: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
         dtype = x.dtype
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -206,15 +249,24 @@ class BatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            x32 = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x32, axis=axes)
-            # one-pass variance (both reductions fuse into a single HBM
-            # sweep), clamped at 0: the raw E[x^2]-mean^2 form can round to
-            # a small negative for near-constant channels (dead ReLUs) and
-            # NaN the rsqrt.
-            var = jnp.maximum(
-                jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean), 0.0)
+            if moments is not None:
+                # Pre-computed per-channel (sum, sumsq) from a fused conv
+                # epilogue (Conv(collect_stats=True)) — no activation re-read.
+                s, q = moments
+                n_m = x.size // self.features
+                mean = s / n_m
+                var = jnp.maximum(q / n_m - jnp.square(mean), 0.0)
+            else:
+                x32 = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(x32, axis=axes)
+                # one-pass variance (both reductions fuse into a single HBM
+                # sweep), clamped at 0: the raw E[x^2]-mean^2 form can round
+                # to a small negative for near-constant channels (dead
+                # ReLUs) and NaN the rsqrt.
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean),
+                    0.0)
             # virtual_n: when the caller folded a broadcast dimension away
             # (e.g. a spatially-constant latent computed at 1x1 instead of
             # HxW), the unbiased-variance correction must still use the

@@ -30,7 +30,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, k_ref, y_ref, s_ref, q_ref, *, th, w, ci, co, out_dtype):
     """x_ref: [1, th+2, w+2, ci] (padded tile), k_ref: [3, 3, ci, co],
-    y_ref: [1, th, w, co], s_ref/q_ref: [1, co] partial sum / sumsq."""
+    y_ref: [1, th, w, co], s_ref/q_ref: [8, co] moment accumulators.
+
+    The moment outputs use a constant block index, so on TPU's sequential
+    grid they live in VMEM for the whole sweep and are written back once at
+    the end — the accumulate-in-revisited-block pattern. An (8, co) block
+    (not (1, co)) satisfies the sublane tiling constraint; only row 0 holds
+    data.
+    """
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        s_ref[...] = jnp.zeros((8, co), jnp.float32)
+        q_ref[...] = jnp.zeros((8, co), jnp.float32)
+
     acc = jnp.zeros((th, w, co), jnp.float32)
     for ky in range(3):
         for kx in range(3):
@@ -40,8 +54,10 @@ def _kernel(x_ref, k_ref, y_ref, s_ref, q_ref, *, th, w, ci, co, out_dtype):
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     y_ref[0, :] = acc.astype(out_dtype)
-    s_ref[0, :] = jnp.sum(acc, axis=(0, 1))
-    q_ref[0, :] = jnp.sum(acc * acc, axis=(0, 1))
+    row0 = lax.broadcasted_iota(jnp.int32, (8, co), 0) == 0
+    s_ref[...] += jnp.where(row0, jnp.sum(acc, axis=(0, 1))[None, :], 0.0)
+    q_ref[...] += jnp.where(row0, jnp.sum(acc * acc, axis=(0, 1))[None, :],
+                            0.0)
 
 
 def _conv3x3_stats_fwd(x, kernel, out_dtype, th, interpret):
@@ -57,7 +73,9 @@ def _conv3x3_stats_fwd(x, kernel, out_dtype, th, interpret):
         grid=(b, n_th),
         in_specs=[
             # row tiles overlap by the 2-row halo: element-granular indexing
-            pl.BlockSpec((1, pl.Element(th + 2), w + 2, ci),
+            # (hardware lowering requires all dims Element or none)
+            pl.BlockSpec((pl.Element(1), pl.Element(th + 2),
+                          pl.Element(w + 2), pl.Element(ci)),
                          lambda i, j: (i, j * th, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, ci, co), lambda i, j: (0, 0, 0, 0),
@@ -66,29 +84,28 @@ def _conv3x3_stats_fwd(x, kernel, out_dtype, th, interpret):
         out_specs=(
             pl.BlockSpec((1, th, w, co), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i, j: (i * n_th + j, 0),
+            pl.BlockSpec((8, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i, j: (i * n_th + j, 0),
+            pl.BlockSpec((8, co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, hp, w, co), out_dtype),
-            jax.ShapeDtypeStruct((b * n_th, co), jnp.float32),
-            jax.ShapeDtypeStruct((b * n_th, co), jnp.float32),
+            jax.ShapeDtypeStruct((8, co), jnp.float32),
+            jax.ShapeDtypeStruct((8, co), jnp.float32),
         ),
         interpret=interpret,
     )(xp, kernel)
     y = y[:, :h]
     # Padded rows contribute zero to the moments only when hp == h; with
     # row padding the pad region convolves real pixels (bottom halo), so
-    # subtract its contribution exactly instead of branching in-kernel.
+    # recompute from the valid output instead of branching in-kernel.
     if hp != h:
-        tail = y  # full valid output
-        s_fix = jnp.sum(tail.astype(jnp.float32).reshape(-1, co), axis=0)
-        q_fix = jnp.sum(jnp.square(tail.astype(jnp.float32)).reshape(-1, co),
-                        axis=0)
+        tail = y.astype(jnp.float32)  # full valid output
+        s_fix = jnp.sum(tail.reshape(-1, co), axis=0)
+        q_fix = jnp.sum(jnp.square(tail).reshape(-1, co), axis=0)
         return y, s_fix, q_fix
-    return y, jnp.sum(s, axis=0), jnp.sum(q, axis=0)
+    return y, s[0], q[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
