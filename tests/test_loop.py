@@ -94,3 +94,56 @@ def test_resume_continues_training(synth_root, tmp_path):
     epochs_logged = {json.loads(l).get("epoch") for l in lines
                      if "train/total_loss" in l}
     assert epochs_logged == {2.0}  # resumed directly into epoch 2
+
+
+def test_eval_padding_does_not_bias_metrics():
+    """A 5-sample dataset at batch 4 pads the final batch by repeating
+    samples (loader np.resize); evaluate_model must mask the padded rows so
+    the averaged metrics equal the unpadded per-batch computation
+    (reference behavior: true-size final batch, evaluate.py:39-99)."""
+    from vaeunet_tpu.data.loader import Loader
+    from vaeunet_tpu.metrics import get_all_metrics
+    from vaeunet_tpu.training.loop import evaluate_model
+    from vaeunet_tpu.training.state import create_train_state
+    from vaeunet_tpu.training.step import make_eval_step
+
+    rng = np.random.RandomState(3)
+    n, hw = 5, 32
+    images = rng.rand(n, hw, hw, 3).astype(np.float32)
+    masks = (rng.rand(n, hw, hw, 1) > 0.7).astype(np.float32)
+
+    class TinyDS:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return {"image": images[i], "mask": masks[i],
+                    "img_id": f"im{i}"}
+
+    config = TrainConfig(model_type="resnet", latent_dim=8, batch_size=4,
+                         amp=False, patch_size=hw, seed=0, lesion_type="EX")
+    state = create_train_state(config, jax.random.PRNGKey(0), (hw, hw))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    eval_step = make_eval_step(config)
+
+    loader = Loader(TinyDS(), batch_size=4, shuffle=False, drop_last=False)
+    metrics, _ = evaluate_model(eval_step, variables, loader,
+                                jax.random.PRNGKey(1), max_samples=0)
+
+    # reference computation: batch [0:4] at full size, batch [4:5] unpadded
+    model_logits = []
+    for sl in (slice(0, 4), slice(4, 5)):
+        _, logits = eval_step(variables, jnp.asarray(images[sl]),
+                              jnp.asarray(masks[sl]), jax.random.PRNGKey(9),
+                              jnp.ones((sl.stop - sl.start,), jnp.float32)
+                              if sl.stop - sl.start < 4 else None)
+        model_logits.append(logits)
+    expected = {}
+    for sl, logits in zip((slice(0, 4), slice(4, 5)), model_logits):
+        m = get_all_metrics(logits, jnp.asarray(masks[sl]))
+        for k, v in m.items():
+            expected.setdefault(k, []).append(float(v))
+    for k in expected:
+        np.testing.assert_allclose(metrics[k], np.mean(expected[k]),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"metric {k} biased by padding")
