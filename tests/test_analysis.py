@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # shared fixture compiles the full model (~50s)
 from PIL import Image
 
 import jax

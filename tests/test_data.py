@@ -135,6 +135,7 @@ def test_loader_shapes_and_padding(synth_data):
     assert n == len(ds) // 4  # drop_last
 
 
+@pytest.mark.slow
 def test_augment_shapes_and_determinism():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
@@ -166,6 +167,7 @@ def test_augment_geometric_consistency():
         np.testing.assert_array_equal(np.asarray(ai[..., :1]), np.asarray(am))
 
 
+@pytest.mark.slow
 def test_augment_statistical_sanity():
     """Across many keys the policy must actually perturb the data."""
     img = jnp.full((16, 16, 3), 0.5, jnp.float32)

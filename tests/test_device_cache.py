@@ -69,6 +69,7 @@ def test_gather_batch_device_matches_host_collate():
     np.testing.assert_array_equal(np.asarray(masks), host_masks)
 
 
+@pytest.mark.slow
 def test_indexed_train_step_matches_host_fed():
     """Same state, same samples: indexed and host-fed steps agree. Loss is
     tight; params only at lr scale — Adam normalizes by sqrt(v), so for
@@ -105,6 +106,7 @@ def test_indexed_train_step_matches_host_fed():
                                    atol=2.5e-3)
 
 
+@pytest.mark.slow
 def test_indexed_eval_step_matches_host_fed():
     from vaeunet_tpu.data.device_cache import DeviceCache
 
@@ -157,6 +159,7 @@ def test_padded_eval_metrics_equal_unpadded():
                                                  abs=1e-6), k
 
 
+@pytest.mark.slow
 def test_train_model_uses_device_cache(tmp_path):
     """End-to-end loop smoke with the device cache enabled (synthetic
     on-disk dataset -> IDRIDDataset -> DeviceCache -> indexed steps)."""
@@ -192,6 +195,7 @@ def test_train_model_uses_device_cache(tmp_path):
     assert any("val/dice" in ln for ln in lines)
 
 
+@pytest.mark.slow
 def test_debug_nans_flag_smoke():
     """--debug-nans surface: the flag builds a working, undonated step and
     flips jax_debug_nans (reset afterwards)."""

@@ -1,6 +1,7 @@
 """Generic (Carvana-style) directory dataset."""
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from vaeunet_tpu.data.generic import BasicDataset
@@ -43,6 +44,7 @@ def test_basic_dataset(tmp_path):
     assert img.shape[:2] == mask.shape[:2]
 
 
+@pytest.mark.slow
 def test_train_on_basic_dataset(tmp_path):
     """End-to-end training epoch on a Carvana-style dataset (BASELINE
     config 3 path)."""

@@ -37,6 +37,7 @@ def synth_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_checkpoint_resume(synth_root, tmp_path):
     config = TrainConfig(
         model_type="resnet", latent_dim=8, epochs=2, batch_size=2,
@@ -70,6 +71,7 @@ def test_train_checkpoint_resume(synth_root, tmp_path):
     assert any("train/total_loss" in ln for ln in lines)
 
 
+@pytest.mark.slow
 def test_resume_continues_training(synth_root, tmp_path):
     """resume_from restores step/best/scheduler and continues from the next
     epoch (the true-resume capability the reference lacks)."""
@@ -96,6 +98,7 @@ def test_resume_continues_training(synth_root, tmp_path):
     assert epochs_logged == {2.0}  # resumed directly into epoch 2
 
 
+@pytest.mark.slow
 def test_eval_padding_does_not_bias_metrics():
     """A 5-sample dataset at batch 4 pads the final batch by repeating
     samples (loader np.resize); evaluate_model must mask the padded rows so

@@ -32,6 +32,7 @@ def tiny_vae():
     return model, variables
 
 
+@pytest.mark.slow
 def test_multi_temp_training_step(tiny_vae):
     model, variables = tiny_vae
     config = TrainConfig(lesion_type="EX", latent_dim=8)
@@ -46,6 +47,7 @@ def test_multi_temp_training_step(tiny_vae):
     assert float(total) == pytest.approx(expected, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_ensemble_sample_parallel_matches_serial(tiny_vae):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -114,6 +116,7 @@ def test_tracker_offline(tmp_path):
     assert (run / "images" / "panel.png").exists()
 
 
+@pytest.mark.slow
 def test_reference_pth_checkpoint_roundtrip(tmp_path):
     """A checkpoint saved in the reference's train.py:542-565 format loads
     through load_reference_checkpoint and produces matching outputs."""
@@ -150,6 +153,7 @@ def test_reference_pth_checkpoint_roundtrip(tmp_path):
                                ref_logits.numpy(), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_backbone_family():
     """resnet18/50 backbones build, run, and produce consistent shapes."""
     for backbone, bott_ch in (("resnet18", 512), ("resnet50", 2048)):

@@ -37,6 +37,7 @@ def _synthetic_batch(rng, b=4, hw=32):
     return jnp.clip(images, 0, 1), masks
 
 
+@pytest.mark.slow
 def test_loss_decreases():
     config = _tiny_config()
     state = create_train_state(config, jax.random.PRNGKey(0), (32, 32))
@@ -51,6 +52,7 @@ def test_loss_decreases():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_grad_accumulation_equivalence():
     """accum=2 over batch 4 must match accum=1 statistically — exact
     equivalence is broken by per-microbatch BN stats (as in torch), so check
@@ -70,6 +72,7 @@ def test_grad_accumulation_equivalence():
     assert a2["mu"].shape == (4, 8)
 
 
+@pytest.mark.slow
 def test_learning_rate_injection():
     config = _tiny_config()
     state = create_train_state(config, jax.random.PRNGKey(0), (32, 32))

@@ -36,6 +36,7 @@ def test_unet_forward_parity(reference_path, bilinear):
     assert ((1 / (1 + np.exp(-ours)) > 0.5) == (1 / (1 + np.exp(-ref_logits)) > 0.5)).all()
 
 
+@pytest.mark.slow
 def test_unet_odd_sizes(reference_path):
     """The pad-to-match path (unet_parts.py:85-89) on non-multiple-of-16
     inputs."""
@@ -56,6 +57,7 @@ def test_unet_odd_sizes(reference_path):
     np.testing.assert_allclose(ours, ref_logits, rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_unet_init_and_grad():
     """From-scratch init produces finite logits and gradients flow."""
     model = UNet(3, 1)

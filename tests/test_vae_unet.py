@@ -24,6 +24,7 @@ def _randomize_bn_stats(model: torch.nn.Module, seed: int = 0):
 
 @pytest.mark.parametrize("injection", ["all", "first", "last", "bottleneck",
                                        "inject_no_bottleneck", "none"])
+@pytest.mark.slow
 def test_forward_parity_deterministic(injection):
     torch.manual_seed(42)
     ref = UNetResNetT(3, 1, latent_dim=32, latent_injection=injection)
@@ -119,6 +120,7 @@ def test_sampling_statistics():
     np.testing.assert_allclose(zs.std(0), [2.0, 4.0], rtol=0.1)
 
 
+@pytest.mark.slow
 def test_encode_decode_ensemble_consistency():
     """vmap'd decode_features over N z-samples == looped decodes, and
     encode()+decode_features(z=mu) == forward(sample=False)."""
@@ -177,6 +179,7 @@ def test_logvar_clamp_keeps_sampling_finite():
     assert float(jnp.max(logvar_raw)) > 30.0
 
 
+@pytest.mark.slow
 def test_fused_decoder_matches_naive():
     """fused=True (no concat / no z broadcast) must equal the naive lowering
     with identical parameters, in eval and train mode."""

@@ -74,6 +74,11 @@ def get_args():
                         action="store_false", default=True,
                         help="Disable the HBM-resident dataset (falls back "
                         "to host-fed batches)")
+    parser.add_argument("--oversample-large-lesions", type=float, default=0.0,
+                        dest="oversample_lesion", metavar="K",
+                        help="Replicate large-lesion train patches "
+                        "(1 + min(4, floor(lesion_frac * K)) copies); 0 keeps "
+                        "the reference's balanced sampling")
     parser.add_argument("--debug-nans", action="store_true", default=False,
                         help="Enable jax_debug_nans and disable buffer "
                         "donation (NaN post-mortem; the reference's NaN "
@@ -125,6 +130,7 @@ def main():
         debug_nans=args.debug_nans,
         lr_patience=args.lr_patience,
         lr_factor=args.lr_factor,
+        oversample_lesion=args.oversample_lesion,
     )
 
     variables = None

@@ -111,7 +111,8 @@ class IDRIDDataset:
                  max_images: Optional[int] = None,
                  skip_border_check: bool = False,
                  cache_dir: Optional[str] = None,
-                 balance_seed: Optional[int] = None):
+                 balance_seed: Optional[int] = None,
+                 oversample_lesion: float = 0.0):
         self.base_dir = Path(base_dir)
         self.split = split
         self.scale = scale
@@ -119,6 +120,7 @@ class IDRIDDataset:
         self.skip_border_check = skip_border_check
         self.is_full_image = patch_size is None
         self.balance_seed = balance_seed
+        self.oversample_lesion = oversample_lesion
 
         self.images_dir = self.base_dir / "imgs" / split
         self.masks_dir = self.base_dir / "masks" / split
@@ -258,8 +260,9 @@ class IDRIDDataset:
                         if black > threshold:
                             continue
                     mp = mask[y:y + self.patch_size, x:x + self.patch_size]
-                    if (mp > 0.5).any():
-                        positives.append((img_id, y, x))
+                    frac = float((mp > 0.5).mean())
+                    if frac > 0.0:
+                        positives.append((img_id, y, x, frac))
                     else:
                         negatives.append((img_id, y, x))
 
@@ -268,7 +271,19 @@ class IDRIDDataset:
                 rng = random.Random(self.balance_seed)
                 rng.shuffle(negatives)
                 negatives = negatives[:len(positives)]
-            records = ([(i, y, x, True) for i, y, x in positives]
+            pos_records = []
+            for i, y, x, frac in positives:
+                # Large confluent lesions live in few patches; the reference's
+                # pretrained encoder copes, a from-scratch one underfits that
+                # mode.  oversample_lesion>0 (train split) replicates a patch
+                # 1 + min(4, floor(frac * oversample_lesion)) times so plaque
+                # interiors keep gradient share.  0 = reference-parity
+                # balancing (data_loading.py:302-446).
+                reps = 1
+                if self.oversample_lesion > 0 and self.split == "train":
+                    reps += min(4, int(frac * self.oversample_lesion))
+                pos_records.extend([(i, y, x, True)] * reps)
+            records = (pos_records
                        + [(i, y, x, False) for i, y, x in negatives])
             if self.split == "test" and not records:
                 records = [(i, y, x, False) for i, y, x in negatives[:10]]

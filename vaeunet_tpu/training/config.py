@@ -60,6 +60,10 @@ class TrainConfig:
     max_images: Optional[int] = None
     lesion_type: str = "EX"
     skip_border_check: bool = False
+    # >0 replicates large-lesion train patches (1 + min(4, floor(frac * k))
+    # copies); compensates for the missing ImageNet-pretrained encoder on
+    # confluent plaques. 0 = reference-parity balanced sampling.
+    oversample_lesion: float = 0.0
 
     # infra
     seed: int = 42

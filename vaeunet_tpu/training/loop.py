@@ -119,7 +119,8 @@ def train_model(config: TrainConfig,
             train_dataset = train_dataset or IDRIDDataset(
                 config.data_dir, split="train", scale=config.img_scale,
                 patch_size=config.patch_size, lesion_type=config.lesion_type,
-                max_images=config.max_images, balance_seed=config.seed)
+                max_images=config.max_images, balance_seed=config.seed,
+                oversample_lesion=config.oversample_lesion)
             val_dataset = val_dataset or IDRIDDataset(
                 config.data_dir, split="val", scale=config.img_scale,
                 patch_size=config.patch_size, lesion_type=config.lesion_type,
