@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Self-supervised masked-reconstruction pretraining for the ResNet encoder.
+
+The in-domain substitute for the ImageNet init the reference gets from timm
+(unet_resnet.py:131-137) — see vaeunet_tpu/training/pretrain.py.  Trains on
+the unlabeled train-split fundus patches and writes an encoder-only orbax
+checkpoint consumable by ``train.py --pretrained-encoder``.
+
+    python scripts/pretrain_encoder.py --scale 1.0 --patch-size 512 \
+        --epochs 40 --data-dir /path/to/data --out ./checkpoints/encoder_ssl
+"""
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+log = logging.getLogger("pretrain")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--patch-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--backbone", type=str, default="resnet34")
+    p.add_argument("--lesion-type", type=str, default="EX",
+                   help="Only selects which mask dir gates image ids; "
+                   "pixels used are unlabeled images")
+    p.add_argument("--data-dir", type=str, default="./data")
+    p.add_argument("--out", type=str, default="./checkpoints/encoder_ssl")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-amp", dest="amp", action="store_false", default=True)
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import orbax.checkpoint as ocp
+
+    from vaeunet_tpu.data.dataset import IDRIDDataset
+    from vaeunet_tpu.data.loader import Loader
+    from vaeunet_tpu.training.pretrain import (MaskedReconstructor,
+                                               encoder_subtree,
+                                               make_pretrain_step)
+
+    ds = IDRIDDataset(args.data_dir, split="train", scale=args.scale,
+                      patch_size=args.patch_size, lesion_type=args.lesion_type,
+                      balance_seed=args.seed)
+    loader = Loader(ds, batch_size=args.batch_size, shuffle=True,
+                    seed=args.seed)
+    log.info("Pretraining on %d patches", len(ds))
+
+    model = MaskedReconstructor(backbone=args.backbone)
+    rng = jax.random.PRNGKey(args.seed)
+    init_x = jnp.zeros((1, args.patch_size, args.patch_size, 3), jnp.float32)
+    variables = model.init({"params": rng}, init_x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    tx, step = make_pretrain_step(model, args.learning_rate, amp=args.amp)
+    opt_state = tx.init(params)
+
+    t0 = time.time()
+    for epoch in range(1, args.epochs + 1):
+        losses, mses = [], []
+        for batch in loader:
+            images = jnp.asarray(batch["image"])
+            params, batch_stats, opt_state, rng, loss, mse = step(
+                params, batch_stats, opt_state, images, rng)
+            losses.append(loss)
+            mses.append(mse)
+        log.info("epoch %d: loss %.5f masked-mse %.5f (%.1fs)", epoch,
+                 float(jnp.mean(jnp.stack(losses))),
+                 float(jnp.mean(jnp.stack(mses))), time.time() - t0)
+
+    out = Path(args.out).absolute()
+    out.mkdir(parents=True, exist_ok=True)
+    enc = encoder_subtree({"params": params, "batch_stats": batch_stats})
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(out / "encoder", enc, force=True)
+    log.info("Saved encoder checkpoint to %s", out / "encoder")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,12 @@ def get_args():
                         action="store_false", default=True,
                         help="Disable the HBM-resident dataset (falls back "
                         "to host-fed batches)")
+    parser.add_argument("--pretrained-encoder", type=str, default=None,
+                        metavar="DIR",
+                        help="Init the ResNet encoder from a self-supervised "
+                        "checkpoint (scripts/pretrain_encoder.py) — the "
+                        "in-domain substitute for the reference's ImageNet "
+                        "init (unet_resnet.py:131-137)")
     parser.add_argument("--oversample-large-lesions", type=float, default=0.0,
                         dest="oversample_lesion", metavar="K",
                         help="Replicate large-lesion train patches "
@@ -148,6 +154,20 @@ def main():
             restored, _ = restore_checkpoint(args.load, template)
             variables = restored.variables()
             logging.info("Loaded weights from %s", args.load)
+
+    if args.pretrained_encoder:
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+        from vaeunet_tpu.training.pretrain import transplant_encoder
+        from vaeunet_tpu.training.state import create_train_state
+        if variables is None:
+            state = create_train_state(config, jax.random.PRNGKey(config.seed))
+            variables = state.variables()
+        with ocp.PyTreeCheckpointer() as ckptr:
+            enc = ckptr.restore(
+                Path(args.pretrained_encoder).absolute() / "encoder")
+        variables = transplant_encoder(variables, enc)
+        logging.info("Initialized encoder from %s", args.pretrained_encoder)
 
     if config.num_devices > 1:
         from vaeunet_tpu.parallel.dp import train_model_dp

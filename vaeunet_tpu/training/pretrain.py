@@ -1,0 +1,139 @@
+"""In-domain self-supervised encoder pretraining (masked reconstruction).
+
+The reference initializes its ResNet34 encoder from ImageNet weights
+(unet_resnet.py:131-137, timm ``pretrained=True``); no weights file ships in
+this zero-egress environment, so this module supplies the substitute: a
+masked-patch reconstruction pretext (MAE-style, but dense-conv rather than
+ViT-token) trained on the unlabeled fundus patches themselves.
+
+Task: random square blocks of the input patch are blanked to the dataset
+mean; the ResNet encoder sees the corrupted patch; a light upsampling head
+reconstructs the original; the loss is MSE weighted toward the masked
+region.  Learning to in-paint fundus texture forces the encoder to model
+vasculature/lesion appearance — transferable features for segmentation.
+
+Usage: ``scripts/pretrain_encoder.py`` trains and saves an
+``{'params': {'encoder': ...}, 'batch_stats': {'encoder': ...}}`` orbax
+checkpoint; ``train.py --pretrained-encoder <dir>`` transplants that subtree
+into a fresh UNetResNet before supervised training.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vaeunet_tpu.models.resnet import ResNetEncoder
+from vaeunet_tpu.ops.layers import BatchNorm, Conv
+from vaeunet_tpu.ops.resize import resize_bilinear
+
+log = logging.getLogger(__name__)
+
+
+class MaskedReconstructor(nn.Module):
+    """ResNet encoder + light progressive-upsample head -> RGB recon."""
+
+    n_channels: int = 3
+    backbone: str = "resnet34"
+
+    def setup(self):
+        self.encoder = ResNetEncoder(self.n_channels, backbone=self.backbone,
+                                     name="encoder")
+        widths = (256, 128, 64, 32, 16)
+        self.head_convs = [Conv(w, kernel_size=3, name=f"head_conv{i}")
+                           for i, w in enumerate(widths)]
+        self.head_bns = [BatchNorm(w, name=f"head_bn{i}")
+                         for i, w in enumerate(widths)]
+        self.out_conv = Conv(self.n_channels, kernel_size=1, name="head_out")
+
+    def __call__(self, x, train: bool = False):
+        feats = self.encoder(x, train=train)
+        h = feats[-1]                                   # H/32, 512ch
+        for conv, bn in zip(self.head_convs, self.head_bns):
+            hw = (h.shape[1] * 2, h.shape[2] * 2)
+            h = resize_bilinear(h, hw, align_corners=False)
+            h = nn.relu(bn(conv(h), use_running_average=not train))
+        if h.shape[1:3] != x.shape[1:3]:
+            h = resize_bilinear(h, x.shape[1:3], align_corners=False)
+        return self.out_conv(h)
+
+
+def make_block_mask(rng, batch: int, hw: int, block: int = 32,
+                    mask_ratio: float = 0.4):
+    """[B,H,W,1] float mask: 1 where the input is blanked (to reconstruct)."""
+    g = hw // block
+    keep = jax.random.uniform(rng, (batch, g, g)) < mask_ratio
+    m = keep.astype(jnp.float32)
+    m = jnp.repeat(jnp.repeat(m, block, axis=1), block, axis=2)
+    return m[..., None]
+
+
+def make_pretrain_step(model: MaskedReconstructor, learning_rate: float,
+                       weight_decay: float = 1e-5, amp: bool = True):
+    import optax
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(learning_rate, weight_decay=weight_decay))
+
+    def loss_fn(params, batch_stats, images, mask, fill):
+        x = images * (1.0 - mask) + fill * mask
+        if amp:
+            x = x.astype(jnp.bfloat16)
+        recon, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        recon = recon.astype(jnp.float32)
+        se = jnp.square(recon - images)
+        masked = (se * mask).sum() / (mask.sum() * images.shape[-1] + 1e-8)
+        visible = (se * (1 - mask)).sum() / (
+            (1 - mask).sum() * images.shape[-1] + 1e-8)
+        loss = masked + 0.1 * visible
+        return loss, (mutated["batch_stats"], masked)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, rng):
+        rng, sub = jax.random.split(rng)
+        mask = make_block_mask(sub, images.shape[0], images.shape[1])
+        fill = images.mean(axis=(1, 2), keepdims=True)
+        (loss, (batch_stats, masked_mse)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, images, mask, fill)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _optax
+        params = _optax.apply_updates(params, updates)
+        return params, batch_stats, opt_state, rng, loss, masked_mse
+
+    return tx, step
+
+
+def encoder_subtree(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Extract the transplantable encoder state from pretrain variables."""
+    return {"params": {"encoder": variables["params"]["encoder"]},
+            "batch_stats": {"encoder": variables["batch_stats"]["encoder"]}}
+
+
+def transplant_encoder(variables: Dict[str, Any],
+                       encoder_state: Dict[str, Any]) -> Dict[str, Any]:
+    """Return ``variables`` with the encoder subtree replaced (shape-checked).
+
+    ``variables``: a UNetResNet (or any model with a top-level 'encoder'
+    module) init; ``encoder_state``: as produced by :func:`encoder_subtree`.
+    """
+    import flax
+
+    src = encoder_state["params"]["encoder"]
+    dst = variables["params"]["encoder"]
+    src_shapes = jax.tree.map(jnp.shape, src)
+    dst_shapes = jax.tree.map(jnp.shape, dst)
+    if src_shapes != dst_shapes:
+        raise ValueError("pretrained encoder param shapes do not match model "
+                         f"(backbone mismatch?): {src_shapes} vs {dst_shapes}")
+    variables = flax.core.unfreeze(variables)
+    variables["params"] = dict(variables["params"], encoder=src)
+    variables["batch_stats"] = dict(
+        variables["batch_stats"],
+        encoder=encoder_state["batch_stats"]["encoder"])
+    return variables
