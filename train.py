@@ -70,6 +70,10 @@ def get_args():
                         help="Plateau-LR patience override (validations)")
     parser.add_argument("--lr-factor", type=float, default=None,
                         help="Plateau-LR decay factor override")
+    parser.add_argument("--device-cache-max-bytes", type=int,
+                        default=6_000_000_000,
+                        help="HBM budget for the device-resident dataset; "
+                        "raise on chips with headroom (v5e: 16 GB total)")
     parser.add_argument("--no-device-cache", dest="device_cache",
                         action="store_false", default=True,
                         help="Disable the HBM-resident dataset (falls back "
@@ -133,6 +137,7 @@ def main():
         use_remat=args.use_checkpointing,
         num_devices=args.num_devices,
         device_cache=args.device_cache,
+        device_cache_max_bytes=args.device_cache_max_bytes,
         debug_nans=args.debug_nans,
         lr_patience=args.lr_patience,
         lr_factor=args.lr_factor,

@@ -144,7 +144,21 @@ class IDRIDDataset:
             self.patch_size = patch_size
         self.stride = self.patch_size // 2 if not self.is_full_image else self.patch_size
 
-        cache_root = Path(cache_dir) if cache_dir else (self.base_dir / "patches_tpu")
+        # Default cache home is OUTSIDE the dataset dir (which may be a
+        # read-only mount): $VAEUNET_CACHE_DIR > ~/.cache/vaeunet_tpu/<id>,
+        # where <id> keys the absolute data path.  The reference rebuilds
+        # its patch cache inside the data dir on every run
+        # (data_loading.py:96-100); here the cache is deterministic,
+        # config-keyed, and relocatable.
+        if cache_dir:
+            cache_root = Path(cache_dir)
+        elif os.environ.get("VAEUNET_CACHE_DIR"):
+            cache_root = Path(os.environ["VAEUNET_CACHE_DIR"])
+        else:
+            data_id = hashlib.sha1(
+                str(self.base_dir.absolute()).encode()).hexdigest()[:10]
+            cache_root = (Path.home() / ".cache" / "vaeunet_tpu"
+                          / f"patches_{data_id}")
         self.cache_dir = cache_root / self._cache_key()
         self._build_or_load_cache()
         self._build_index()
