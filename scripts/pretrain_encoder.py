@@ -52,11 +52,14 @@ def main():
                                                encoder_subtree,
                                                make_pretrain_step)
 
+    from vaeunet_tpu.data.device_cache import DeviceCache
+
     ds = IDRIDDataset(args.data_dir, split="train", scale=args.scale,
                       patch_size=args.patch_size, lesion_type=args.lesion_type,
                       balance_seed=args.seed)
+    cache = DeviceCache(ds)
     loader = Loader(ds, batch_size=args.batch_size, shuffle=True,
-                    seed=args.seed)
+                    seed=args.seed, index_only=True)
     log.info("Pretraining on %d patches", len(ds))
 
     model = MaskedReconstructor(backbone=args.backbone)
@@ -65,16 +68,17 @@ def main():
     variables = model.init({"params": rng}, init_x, train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    tx, step = make_pretrain_step(model, args.learning_rate, amp=args.amp)
+    tx, step = make_pretrain_step(model, args.learning_rate, amp=args.amp,
+                                  indexed=True)
     opt_state = tx.init(params)
 
     t0 = time.time()
     for epoch in range(1, args.epochs + 1):
         losses, mses = [], []
         for batch in loader:
-            images = jnp.asarray(batch["image"])
+            idx = jnp.asarray(batch["idx"])
             params, batch_stats, opt_state, rng, loss, mse = step(
-                params, batch_stats, opt_state, images, rng)
+                params, batch_stats, opt_state, cache.images, idx, rng)
             losses.append(loss)
             mses.append(mse)
         log.info("epoch %d: loss %.5f masked-mse %.5f (%.1fs)", epoch,

@@ -245,6 +245,15 @@ class IDRIDDataset:
             return z["image_f32"], z["mask"].astype(np.float32)
         return z["image_u8"].astype(np.float32) / 255.0, z["mask"].astype(np.float32)
 
+    def _image_arrays_u8(self, img_id: str):
+        """(image HWC uint8, mask HW uint8) without float conversion, or
+        None in full-image/float-cache mode — the DeviceCache bulk-assembly
+        path."""
+        z = np.load(self.cache_dir / f"{img_id}.npz")
+        if "image_u8" not in z:
+            return None
+        return z["image_u8"], z["mask"]
+
     def _build_index(self):
         """Enumerate (img_id, y, x, has_lesion) patch records with border
         filtering and train-split balancing (data_loading.py:302-446)."""
@@ -254,6 +263,19 @@ class IDRIDDataset:
         records: List[Tuple[str, int, int, bool]] = []
 
         threshold = 0.5 if self.split == "test" else 0.1
+
+        # The enumeration sweep (border checks + lesion tests over every
+        # patch of every image) costs minutes at scale 1.0; its result is a
+        # pure function of the cached pixels + these knobs, so persist it.
+        index_path = self.cache_dir / (
+            f"index_p{self.patch_size}_b{int(not self.skip_border_check)}"
+            f"_t{threshold}.json")
+        if index_path.exists():
+            cached = json.loads(index_path.read_text())
+            positives = [tuple(r) for r in cached["positives"]]
+            negatives = [tuple(r) for r in cached["negatives"]]
+            self._finalize_index(positives, negatives, records)
+            return
 
         for img_id, m in self.meta.items():
             if self.is_full_image:
@@ -280,6 +302,16 @@ class IDRIDDataset:
                     else:
                         negatives.append((img_id, y, x))
 
+        if not self.is_full_image:
+            try:
+                index_path.write_text(json.dumps(
+                    {"positives": positives, "negatives": negatives}))
+            except OSError as e:  # read-only cache is non-fatal
+                log.warning("Couldn't persist patch index: %s", e)
+        self._finalize_index(positives, negatives, records)
+
+    def _finalize_index(self, positives, negatives, records):
+        """Balance + oversample the enumerated patches into patch_index."""
         if not self.is_full_image:
             if self.split == "train":
                 rng = random.Random(self.balance_seed)

@@ -52,23 +52,55 @@ class DeviceCache:
         p = first["image"].shape[0]
         images = np.empty((n, *first["image"].shape), np.uint8)
         masks = np.empty((n, *first["mask"].shape), np.uint8)
-        ids = []
-        for i in range(n):
-            s = dataset[i]
-            img = s["image"]
-            if img.dtype != np.uint8:
-                # host path serves float [0,1]; recover the exact uint8 pixels
-                img = np.round(img * 255.0).astype(np.uint8)
-            images[i] = img
-            masks[i] = (s["mask"] > 0.5).astype(np.uint8)
-            ids.append(s["img_id"])
+        ids: list = [None] * n
+        if not self._fast_fill(dataset, images, masks, ids, p):
+            for i in range(n):
+                s = dataset[i]
+                img = s["image"]
+                if img.dtype != np.uint8:
+                    # host path serves float [0,1]; recover exact uint8 pixels
+                    img = np.round(img * 255.0).astype(np.uint8)
+                images[i] = img
+                masks[i] = (s["mask"] > 0.5).astype(np.uint8)
+                ids[i] = s["img_id"]
         self.img_ids = ids
         self.patch_size = p
+
         d = device or jax.devices()[0]
         log.info("DeviceCache: uploading %d patches (%.0f MB uint8) to %s",
                  n, (images.nbytes + masks.nbytes) / 1e6, d)
         self.images = jax.device_put(images, d)
         self.masks = jax.device_put(masks, d)
+
+    @staticmethod
+    def _fast_fill(dataset, images, masks, ids, p) -> bool:
+        """Image-major uint8 assembly for IDRIDDataset-style patch sets.
+
+        The generic per-sample path is pathological after train balancing:
+        negatives are shuffled, so consecutive samples hit different source
+        images and each miss decompresses + float-converts a whole image
+        (~25 min at scale 1.0).  Here patches are grouped by source image,
+        each image's uint8 planes are loaded exactly once, and slices are
+        copied directly — seconds instead of minutes.
+        """
+        index = getattr(dataset, "patch_index", None)
+        raw = getattr(dataset, "_image_arrays_u8", None)
+        if index is None or raw is None or getattr(dataset, "is_full_image",
+                                                   True):
+            return False
+        by_img: dict = {}
+        for i, (img_id, y, x, _) in enumerate(index):
+            by_img.setdefault(img_id, []).append((i, y, x))
+        for img_id, entries in by_img.items():
+            arrs = raw(img_id)
+            if arrs is None:
+                return False
+            img_u8, mask_u8 = arrs
+            for i, y, x in entries:
+                images[i] = img_u8[y:y + p, x:x + p]
+                masks[i] = mask_u8[y:y + p, x:x + p, None]
+                ids[i] = img_id
+        return True
 
     def __len__(self) -> int:
         return self.images.shape[0]
