@@ -220,6 +220,10 @@ class UNetResNet(nn.Module):
     # fused decoder blocks: identical math/params, no concat or z-broadcast
     # materialization (see DecoderBlock docstring); False = naive lowering
     fused_decoder: bool = True
+    # Rematerialize decoder blocks in backward (nn.remat): trades recompute
+    # FLOPs for HBM traffic — the step is bandwidth-bound at ~2.7x FLOP
+    # headroom, so this can WIN time, not just memory (A/B in RESULTS.md).
+    use_remat: bool = False
     # |logvar| cap applied at the head.  The reference clamps per-dim KL to
     # 100 (loss.py:158), which *zeroes the gradient* of runaway dimensions —
     # so logvar can drift to values where exp() overflows and sampling
@@ -258,14 +262,16 @@ class UNetResNet(nn.Module):
             (256, enc_ch[-4], 128),
             (128, enc_ch[0], 64),
         ]
+        DB = (nn.remat(DecoderBlock, static_argnums=(4,))
+              if self.use_remat else DecoderBlock)
         self.decoder_blocks = [
-            DecoderBlock(in_ch, out_ch, self.latent_dim,
-                         use_attention=self.use_attention and self.use_skip,
-                         use_skip=self.use_skip,
-                         use_latent=use_latent[i],
-                         skip_channels=skip_ch,
-                         fused=self.fused_decoder,
-                         name=f"decoder_{i}")
+            DB(in_ch, out_ch, self.latent_dim,
+               use_attention=self.use_attention and self.use_skip,
+               use_skip=self.use_skip,
+               use_latent=use_latent[i],
+               skip_channels=skip_ch,
+               fused=self.fused_decoder,
+               name=f"decoder_{i}")
             for i, (in_ch, skip_ch, out_ch) in enumerate(plans)
         ]
         self.final_conv = Conv(self.n_classes, kernel_size=1,
@@ -318,7 +324,7 @@ class UNetResNet(nn.Module):
             x = bottleneck
         for i, block in enumerate(self.decoder_blocks):
             skip = features[-(i + 2)] if (i < len(features) - 1 and self.use_skip) else None
-            x = block(x, skip, z, train=train)
+            x = block(x, skip, z, train)
         logits = self.final_conv(x)
         if output_hw is not None and tuple(output_hw) != tuple(logits.shape[1:3]):
             logits = resize_bilinear(logits, output_hw, align_corners=True)

@@ -77,6 +77,7 @@ def build_model(config: TrainConfig):
             use_attention=config.use_attention,
             use_skip=config.use_skip,
             latent_injection=config.latent_injection,
+            use_remat=config.use_remat,
         )
     return UNet(n_channels=config.n_channels, n_classes=config.n_classes,
                 bilinear=config.bilinear, use_remat=config.use_remat)
