@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from vaeunet_tpu.ops.pallas.bn_relu import fused_bn_relu
 from vaeunet_tpu.ops.pallas.reparam import reparameterize_pallas
+from vaeunet_tpu.ops.pallas import resize_mm
+from vaeunet_tpu.ops.resize import _interp_matrix, resize_bilinear
 
 
 def test_fused_bn_relu_matches_lax():
@@ -32,6 +34,44 @@ def test_fused_bn_relu_nonaligned_rows():
     ours = fused_bn_relu(x, ones, zeros, zeros, ones, True)
     ref = jnp.maximum(x * jax.lax.rsqrt(jnp.ones(8) + 1e-5), 0.0)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_resize_mm_matches_reference():
+    """Blocked interp-matrix resize kernels == the model's resize_bilinear.
+
+    The kernels are kept in-tree but unused by default: on the v5e the XLA
+    einsum lowering won the end-of-round A/B at 4/5 decoder shapes
+    (RESULTS.md round 2) — this test keeps them correct for future fusion
+    work and for shapes where they do win (bottleneck up, 1.43x).
+    """
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 24, 8).astype(np.float32))
+    mh = jnp.asarray(_interp_matrix(16, 32, True))
+    mw = jnp.asarray(_interp_matrix(24, 48, True))
+
+    yw = resize_mm.resize_w(x, mw, 48, True)
+    yh = resize_mm.resize_h(yw, mh, 32, True)
+    ref = resize_bilinear(x, (32, 48), align_corners=True)
+    np.testing.assert_allclose(np.asarray(yh), np.asarray(ref), atol=1e-5)
+
+
+def test_resize_mm_vjp_is_transposed_downsample():
+    """custom_vjp of the pallas resize == VJP of the dense matmul form."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 8, 8, 8).astype(np.float32))
+    m = jnp.asarray(_interp_matrix(8, 16, True))
+    mt = jnp.asarray(m.T).copy()
+
+    def pallas_sum(x):
+        return jnp.sum(resize_mm.resize_h_op(x, m, mt, 16) ** 2)
+
+    def dense_sum(x):
+        return jnp.sum(jnp.einsum("oh,bhwc->bowc", m, x) ** 2)
+
+    g_pallas = jax.grad(pallas_sum)(x)
+    g_dense = jax.grad(dense_sum)(x)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_dense),
+                               atol=1e-5)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
