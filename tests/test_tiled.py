@@ -180,3 +180,30 @@ def test_full_image_predict_and_distribution(tiny_vae):
     np.testing.assert_allclose(np.asarray(probs_mu), np.asarray(probs2),
                                atol=1e-5)
     assert mask.dtype == bool
+
+
+def test_fused_probability_cross_scale(tiny_vae):
+    """Multi-model fusion: shapes, range, max >= both members, mean = avg."""
+    from vaeunet_tpu.inference.ensemble import fused_probability
+
+    model, variables = tiny_vae
+    img_full = jax.random.uniform(jax.random.PRNGKey(5), (64, 64, 3))
+    img_half = img_full[::2, ::2]  # stand-in for a 0.5x member
+    members = [(model, variables, img_full), (model, variables, img_half)]
+
+    fused_max, means = fused_probability(
+        members, jax.random.PRNGKey(6), num_samples=2, fusion="max")
+    assert fused_max.shape == (64, 64, 1)
+    assert means.shape == (2, 64, 64, 1)
+    assert float(fused_max.min()) >= 0 and float(fused_max.max()) <= 1
+    np.testing.assert_array_equal(
+        np.asarray(fused_max), np.asarray(jnp.max(means, axis=0)))
+
+    fused_mean, means2 = fused_probability(
+        members, jax.random.PRNGKey(6), num_samples=2, fusion="mean")
+    np.testing.assert_allclose(np.asarray(fused_mean),
+                               np.asarray(jnp.mean(means2, axis=0)),
+                               atol=1e-6)
+
+    with pytest.raises(ValueError):
+        fused_probability(members, jax.random.PRNGKey(7), fusion="median")

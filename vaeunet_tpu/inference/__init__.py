@@ -10,6 +10,7 @@ from vaeunet_tpu.inference.predict import (
     predict_image,
     segmentation_distribution,
 )
+from vaeunet_tpu.inference.ensemble import fused_probability
 
 __all__ = [
     "adaptive_overlap",
@@ -20,4 +21,5 @@ __all__ = [
     "predict_full_image",
     "predict_image",
     "segmentation_distribution",
+    "fused_probability",
 ]
