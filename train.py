@@ -41,6 +41,10 @@ def get_args():
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--use-checkpointing", action="store_true", default=False,
                         help="Gradient rematerialization (memory saver)")
+    parser.add_argument("--remat-policy", type=str, default="full",
+                        choices=["full", "save_convs"],
+                        help="With --use-checkpointing: 'save_convs' keeps "
+                        "conv/resize products and recomputes only BN/ReLU")
     parser.add_argument("--gradient-accumulation-steps", type=int, default=2)
     parser.add_argument("--early-stopping-patience", type=int, default=5)
     parser.add_argument("--lesion-type", type=str, default="EX")
@@ -135,6 +139,7 @@ def main():
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         use_remat=args.use_checkpointing,
+        remat_policy=args.remat_policy,
         num_devices=args.num_devices,
         device_cache=args.device_cache,
         device_cache_max_bytes=args.device_cache_max_bytes,

@@ -32,6 +32,7 @@ from typing import List, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from vaeunet_tpu.models.resnet import ResNetEncoder
 from vaeunet_tpu.ops.layers import BatchNorm, Conv, SlicedConv
@@ -174,6 +175,12 @@ class DecoderBlock(nn.Module):
             if skip is not None and self.use_skip and self.use_attention:
                 skip = self.attention(x, skip, train=train)
         has_skip = skip is not None and self.use_skip
+        # remat_policy='save_convs': these are the matmul-heavy products a
+        # selective rematerialization must NOT recompute (resize contraction,
+        # attention-gated skip); BN/ReLU between them is recomputed instead.
+        x = checkpoint_name(x, "dec_save")
+        if has_skip:
+            skip = checkpoint_name(skip, "dec_save")
 
         if self.fused:
             y = self.conv1(x, 0)
@@ -198,8 +205,10 @@ class DecoderBlock(nn.Module):
                 z_sp = self.z_proj_bn(z_sp, use_running_average=not train)
                 components.append(nn.relu(z_sp))
             y = self.conv1(jnp.concatenate(components, axis=-1))
+        y = checkpoint_name(y, "dec_save")
         y = nn.relu(self.bn1(y, use_running_average=not train))
-        y = nn.relu(self.bn2(self.conv2(y), use_running_average=not train))
+        y = checkpoint_name(self.conv2(y), "dec_save")
+        y = nn.relu(self.bn2(y, use_running_average=not train))
         return y
 
 
@@ -224,6 +233,11 @@ class UNetResNet(nn.Module):
     # FLOPs for HBM traffic — the step is bandwidth-bound at ~2.7x FLOP
     # headroom, so this can WIN time, not just memory (A/B in RESULTS.md).
     use_remat: bool = False
+    # 'full': recompute everything in backward (max memory saving).
+    # 'save_convs': save the conv/resize/gate products ('dec_save' names)
+    # and recompute only BN/ReLU — cuts saved-activation HBM traffic
+    # without re-running the MXU-heavy ops.
+    remat_policy: str = "full"
     # |logvar| cap applied at the head.  The reference clamps per-dim KL to
     # 100 (loss.py:158), which *zeroes the gradient* of runaway dimensions —
     # so logvar can drift to values where exp() overflows and sampling
@@ -262,8 +276,12 @@ class UNetResNet(nn.Module):
             (256, enc_ch[-4], 128),
             (128, enc_ch[0], 64),
         ]
-        DB = (nn.remat(DecoderBlock, static_argnums=(4,))
-              if self.use_remat else DecoderBlock)
+        if self.use_remat:
+            policy = (jax.checkpoint_policies.save_only_these_names("dec_save")
+                      if self.remat_policy == "save_convs" else None)
+            DB = nn.remat(DecoderBlock, static_argnums=(4,), policy=policy)
+        else:
+            DB = DecoderBlock
         self.decoder_blocks = [
             DB(in_ch, out_ch, self.latent_dim,
                use_attention=self.use_attention and self.use_skip,

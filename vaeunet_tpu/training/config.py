@@ -75,6 +75,8 @@ class TrainConfig:
     save_all_improvements: bool = False
     num_workers: int = 6                    # host-side prefetch threads
     use_remat: bool = False
+    # 'full' | 'save_convs' (save conv/resize products, recompute BN/ReLU)
+    remat_policy: str = "full"
     # Keep the whole patch set resident in HBM as uint8 and gather batches
     # on-device (data.device_cache). Auto-disabled when the set exceeds
     # device_cache_max_bytes, in full-image mode, or under multi-device DP.

@@ -78,6 +78,7 @@ def build_model(config: TrainConfig):
             use_skip=config.use_skip,
             latent_injection=config.latent_injection,
             use_remat=config.use_remat,
+            remat_policy=config.remat_policy,
         )
     return UNet(n_channels=config.n_channels, n_classes=config.n_classes,
                 bilinear=config.bilinear, use_remat=config.use_remat)
