@@ -39,6 +39,12 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--patch-size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fusion", choices=["max", "mean"], default="max")
+    p.add_argument("--output-dir", default=None,
+                   help="If set, write the reference-schema analysis_metrics.csv "
+                        "for the fused predictor under "
+                        "<output-dir>/<LESION>_T<T>_N<N>/ (uncertainty = "
+                        "pooled member samples resized to native resolution)")
     args = p.parse_args()
 
     from vaeunet_tpu.compat.loading import load_model_and_variables
@@ -56,10 +62,18 @@ def main():
                         patch_size=None, lesion_type=args.lesion_type,
                         skip_border_check=True)
 
+    from vaeunet_tpu.uncertainty import (
+        calculate_expected_calibration_error,
+        calculate_sparsification_metrics,
+        calculate_uncertainty_error_auc,
+        calculate_uncertainty_error_dice,
+    )
+
     rng = jax.random.PRNGKey(args.seed)
     weights = np.linspace(0.0, 1.0, 11)
     dice_tbl = {}     # img -> [dice(w) for w in weights]
     max_tbl = {}      # img -> dice of pixelwise-max fusion
+    csv_rows = []
 
     for img_id in ds_b.unique_image_ids():
         img_a, _ = ds_a.get_image_and_mask(img_id)
@@ -92,6 +106,35 @@ def main():
               f"mix0.5={dice_tbl[img_id][5]:.3f} max={max_tbl[img_id]:.3f}",
               flush=True)
 
+        if args.output_dir:
+            # Fused predictor metrics in the reference analyze_model.py
+            # 7-column schema.  Probability map = the fused map; per-pixel
+            # uncertainty = std over ALL member samples at native res.
+            fused = (np.maximum(pa, pb) if args.fusion == "max"
+                     else 0.5 * (pa + pb))
+            up_a = resize_bilinear(
+                jnp.asarray(samples_a), gt.shape[:2], align_corners=False)
+            pooled = np.concatenate(
+                [np.asarray(up_a)[..., 0], np.asarray(samples_b)[..., 0]])
+            std_dev = pooled.std(axis=0)
+            pred_binary = (fused > 0.5).astype(np.float32)
+            dice = dice_of(fused)
+            ece, *_ = calculate_expected_calibration_error(fused, gt)
+            ue_dice = calculate_uncertainty_error_dice(std_dev, pred_binary, gt)
+            frac, err_r, err_u = calculate_sparsification_metrics(
+                fused[None], std_dev[None], gt[None], num_points=20)
+            if err_r[0] > 0:
+                norm_r, norm_u = err_r / err_r[0], err_u / err_r[0]
+            else:
+                norm_r, norm_u = err_r, err_u
+            se = float(np.trapezoid(norm_r - norm_u, frac))
+            auroc, auprc = calculate_uncertainty_error_auc(fused, gt, std_dev)
+            csv_rows.append({
+                "img_id": str(img_id), "dice": dice, "ece": ece,
+                "sparsification_error": se, "uncertainty_error_dice": ue_dice,
+                "error_auroc": auroc, "error_auprc": auprc,
+            })
+
     print("\nw_b  " + "  ".join(f"{w:.1f}" for w in weights))
     for img_id, row in dice_tbl.items():
         print(f"{img_id}: " + "  ".join(f"{d:.3f}" for d in row))
@@ -99,6 +142,16 @@ def main():
     print("mean: " + "  ".join(f"{d:.3f}" for d in means))
     print(f"best mixed mean dice: {means.max():.4f} at w_b={weights[means.argmax()]:.1f}")
     print(f"max-fusion mean dice: {np.mean(list(max_tbl.values())):.4f}")
+
+    if args.output_dir:
+        import pandas as pd
+        out = (Path(args.output_dir)
+               / f"{args.lesion_type}_T{args.temperature}_N{args.samples}")
+        out.mkdir(parents=True, exist_ok=True)
+        df = pd.DataFrame(csv_rows)
+        df.to_csv(out / "analysis_metrics.csv", index=False)
+        print(f"wrote {out / 'analysis_metrics.csv'} "
+              f"(fusion={args.fusion}, mean dice {df['dice'].mean():.4f})")
 
 
 if __name__ == "__main__":
