@@ -213,3 +213,37 @@ def test_fused_decoder_matches_naive():
         assert str(pf) == str(pn)
         np.testing.assert_allclose(np.asarray(vf), np.asarray(vn), atol=1e-3,
                                    err_msg=str(pf))
+
+
+@pytest.mark.slow
+def test_remat_modes_match_no_remat():
+    """Rematerialization (full and save_convs policies) must not change
+    loss or gradients — it only changes what backward recomputes."""
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    results = {}
+    for name, kw in [("off", {}), ("full", dict(use_remat=True)),
+                     ("save_convs", dict(use_remat=True,
+                                         remat_policy="save_convs"))]:
+        m = UNetResNet(n_classes=1, latent_dim=8, **kw)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "latent": jax.random.PRNGKey(1)}
+        variables = m.init(rngs, x, train=True)
+
+        def loss_fn(p, m=m, variables=variables):
+            out, _ = m.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]}, x,
+                train=True, rngs={"latent": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            return jnp.mean(out[0] ** 2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        results[name] = (
+            float(loss_fn(variables["params"])),
+            float(jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+    for mode in ("full", "save_convs"):
+        np.testing.assert_allclose(results[mode][0], results["off"][0],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(results[mode][1], results["off"][1],
+                                   rtol=1e-5)

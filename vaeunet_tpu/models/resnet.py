@@ -20,8 +20,10 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from vaeunet_tpu.ops.fused import fused_conv_bn_enabled
 from vaeunet_tpu.ops.layers import BatchNorm, Conv
@@ -37,7 +39,10 @@ def conv3x3_bn(x, features, stride, train, conv_name, bn_name):
     if train and stride == 1 and features == 64 and fused_conv_bn_enabled():
         y, s, q = conv(x, collect_stats=True)
         return bn(y, use_running_average=False, moments=(s, q))
-    return bn(conv(x), use_running_average=not train)
+    # 'remat_save': under remat_policy='save_convs' the conv product is
+    # kept and only the BN/ReLU epilogue is recomputed in backward.
+    return bn(checkpoint_name(conv(x), "remat_save"),
+              use_running_average=not train)
 
 
 class BasicBlock(nn.Module):
@@ -102,6 +107,11 @@ class ResNetEncoder(nn.Module):
     n_channels: int = 3
     backbone: str = "resnet34"
     stage_features: Sequence[int] = (64, 128, 256, 512)
+    # Rematerialize residual blocks in backward; with
+    # remat_policy='save_convs' only BN/ReLU epilogues are recomputed
+    # (conv products carry the 'remat_save' checkpoint_name).
+    use_remat: bool = False
+    remat_policy: str = "full"
 
     # channels of each returned feature map, mirroring
     # timm's ``feature_info.channels()`` (unet_resnet.py:137)
@@ -116,6 +126,10 @@ class ResNetEncoder(nn.Module):
         assert x.shape[-1] == self.n_channels
         stage_sizes, bottleneck = RESNET_CONFIGS[self.backbone]
         block_cls = BottleneckBlock if bottleneck else BasicBlock
+        if self.use_remat:
+            policy = (jax.checkpoint_policies.save_only_these_names("remat_save")
+                      if self.remat_policy == "save_convs" else None)
+            block_cls = nn.remat(block_cls, static_argnums=(2,), policy=policy)
         feats = []
         x = Conv(64, kernel_size=7, stride=2, padding=3, use_bias=False,
                  name="conv1")(x)
@@ -128,7 +142,7 @@ class ResNetEncoder(nn.Module):
             for bi in range(n_blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
                 x = block_cls(features, stride, name=f"layer{si + 1}_{bi}")(
-                    x, train=train)
+                    x, train)
             feats.append(x)                   # strides 4, 8, 16, 32
         return feats
 

@@ -178,9 +178,9 @@ class DecoderBlock(nn.Module):
         # remat_policy='save_convs': these are the matmul-heavy products a
         # selective rematerialization must NOT recompute (resize contraction,
         # attention-gated skip); BN/ReLU between them is recomputed instead.
-        x = checkpoint_name(x, "dec_save")
+        x = checkpoint_name(x, "remat_save")
         if has_skip:
-            skip = checkpoint_name(skip, "dec_save")
+            skip = checkpoint_name(skip, "remat_save")
 
         if self.fused:
             y = self.conv1(x, 0)
@@ -205,9 +205,9 @@ class DecoderBlock(nn.Module):
                 z_sp = self.z_proj_bn(z_sp, use_running_average=not train)
                 components.append(nn.relu(z_sp))
             y = self.conv1(jnp.concatenate(components, axis=-1))
-        y = checkpoint_name(y, "dec_save")
+        y = checkpoint_name(y, "remat_save")
         y = nn.relu(self.bn1(y, use_running_average=not train))
-        y = checkpoint_name(self.conv2(y), "dec_save")
+        y = checkpoint_name(self.conv2(y), "remat_save")
         y = nn.relu(self.bn2(y, use_running_average=not train))
         return y
 
@@ -253,6 +253,8 @@ class UNetResNet(nn.Module):
         self.should_sample = should_sample
 
         self.encoder = ResNetEncoder(self.n_channels, backbone=self.backbone,
+                                     use_remat=self.use_remat,
+                                     remat_policy=self.remat_policy,
                                      name="encoder")
         enc_ch = self.encoder.feature_channels  # resnet34: [64,64,128,256,512]
 
@@ -277,7 +279,7 @@ class UNetResNet(nn.Module):
             (128, enc_ch[0], 64),
         ]
         if self.use_remat:
-            policy = (jax.checkpoint_policies.save_only_these_names("dec_save")
+            policy = (jax.checkpoint_policies.save_only_these_names("remat_save")
                       if self.remat_policy == "save_convs" else None)
             DB = nn.remat(DecoderBlock, static_argnums=(4,), policy=policy)
         else:
