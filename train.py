@@ -47,6 +47,10 @@ def get_args():
                         "conv/resize products and recomputes only BN/ReLU")
     parser.add_argument("--gradient-accumulation-steps", type=int, default=2)
     parser.add_argument("--early-stopping-patience", type=int, default=5)
+    parser.add_argument("--loss", type=str, default="auto",
+                        choices=["auto", "combined", "focal"],
+                        help="Override the per-lesion loss rule (auto = "
+                        "reference behavior: MA->focal+dice, else BCE+dice)")
     parser.add_argument("--lesion-type", type=str, default="EX")
     parser.add_argument("--model-type", type=str, default="resnet",
                         choices=["basic", "resnet"])
@@ -136,6 +140,7 @@ def main():
         patch_size=args.patch_size,
         max_images=args.max_images,
         lesion_type=args.lesion_type,
+        loss=args.loss,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         use_remat=args.use_checkpointing,

@@ -145,10 +145,18 @@ class KLAnnealer:
         return self.kl_end
 
 
-def make_criterion(lesion_type: str):
+def make_criterion(lesion_type: str, override: str = "auto"):
     """Loss selection rule from the reference train loop (train.py:312-316):
-    MA gets the specialized focal+dice loss, everything else BCE+dice."""
-    if lesion_type == "MA":
+    MA gets the specialized focal+dice loss, everything else BCE+dice.
+
+    ``override`` (TPU-native addition, ``--loss``): 'auto' keeps the
+    reference rule; 'combined' / 'focal' force the respective loss for any
+    lesion type — focal+dice concentrates gradient on hard small-lesion
+    pixels (e.g. the scattered-dot EX regime the ImageNet-pretrained
+    reference encoder handles natively)."""
+    if override == "combined":
+        return combined_loss
+    if override == "focal" or (override == "auto" and lesion_type == "MA"):
         return lambda logits, targets: ma_segmentation_loss(
             logits, targets, class_weight=0.9)
     return combined_loss

@@ -59,6 +59,9 @@ class TrainConfig:
     patch_size: Optional[int] = None
     max_images: Optional[int] = None
     lesion_type: str = "EX"
+    # 'auto' = reference rule (MA->focal+dice, else BCE+dice);
+    # 'combined'/'focal' force that loss for any lesion type
+    loss: str = "auto"
     skip_border_check: bool = False
     # >0 replicates large-lesion train patches (1 + min(4, floor(frac * k))
     # copies); compensates for the missing ImageNet-pretrained encoder on

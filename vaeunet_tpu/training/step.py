@@ -85,7 +85,7 @@ def make_train_step(config: TrainConfig, model=None,
     axis (data parallelism; used by vaeunet_tpu.parallel).
     """
     model = model or build_model(config)
-    criterion = criterion or make_criterion(config.lesion_type)
+    criterion = criterion or make_criterion(config.lesion_type, config.loss)
     tx = make_optimizer(config)
     accum = max(1, config.gradient_accumulation_steps)
     # Debug surface (--debug-nans): raise on the op that produced a NaN and
