@@ -97,6 +97,12 @@ def test_resume_continues_training(synth_root, tmp_path):
                      if "train/total_loss" in l}
     assert epochs_logged == {2.0}  # resumed directly into epoch 2
 
+    # Resuming into the SAME run dir must keep the restored-from weights
+    # recoverable: later "better val" checkpoints can overfit a small train
+    # set (RESULTS.md round 2), so best_preresume preserves the originals.
+    from pathlib import Path
+    assert (Path(run_dir) / "best_preresume").exists()
+
 
 @pytest.mark.slow
 def test_eval_padding_does_not_bias_metrics():

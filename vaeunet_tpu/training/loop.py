@@ -20,7 +20,9 @@ TPU-native differences:
 from __future__ import annotations
 
 import logging
+import shutil
 import time
+from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -205,6 +207,17 @@ def train_model(config: TrainConfig,
             scheduler.load_state_dict(host["scheduler"])
         log.info("Resumed from %s at epoch %d (step %d, best dice %.4f)",
                  resume_from, start_epoch, global_step, best_val_score)
+        # A resumed run that keeps improving will overwrite <run_dir>/best —
+        # but "better val dice" does not guarantee a better model (a later
+        # checkpoint can overfit a small train set; measured in RESULTS.md
+        # round 2).  Keep the restored-from weights recoverable.
+        src = Path(resume_from) / "best"
+        if (src.resolve() == (Path(run_dir) / "best").resolve()
+                and src.exists()):
+            backup = Path(run_dir) / "best_preresume"
+            if not backup.exists():
+                shutil.copytree(src, backup)
+                log.info("Backed up pre-resume checkpoint to %s", backup)
 
     t_start = time.time()
 
