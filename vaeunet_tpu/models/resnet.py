@@ -30,7 +30,8 @@ from vaeunet_tpu.ops.layers import BatchNorm, Conv
 from vaeunet_tpu.ops.pool import max_pool
 
 
-def conv3x3_bn(x, features, stride, train, conv_name, bn_name):
+def conv3x3_bn(x, features, stride, train, conv_name, bn_name,
+               save_names=False):
     """conv3x3(s)-BN pair; routes through the fused conv+BN-stats Pallas
     kernel on the training path when enabled (stride-1 only)."""
     conv = Conv(features, kernel_size=3, stride=stride, padding=1,
@@ -39,10 +40,12 @@ def conv3x3_bn(x, features, stride, train, conv_name, bn_name):
     if train and stride == 1 and features == 64 and fused_conv_bn_enabled():
         y, s, q = conv(x, collect_stats=True)
         return bn(y, use_running_average=False, moments=(s, q))
-    # 'remat_save': under remat_policy='save_convs' the conv product is
-    # kept and only the BN/ReLU epilogue is recomputed in backward.
-    return bn(checkpoint_name(conv(x), "remat_save"),
-              use_running_average=not train)
+    y = conv(x)
+    if save_names:
+        # 'remat_save': under remat_policy='save_convs' the conv product is
+        # kept and only the BN/ReLU epilogue is recomputed in backward.
+        y = checkpoint_name(y, "remat_save")
+    return bn(y, use_running_average=not train)
 
 
 class BasicBlock(nn.Module):
@@ -50,13 +53,16 @@ class BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    save_names: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        y = conv3x3_bn(x, self.features, self.stride, train, "conv1", "bn1")
+        y = conv3x3_bn(x, self.features, self.stride, train, "conv1", "bn1",
+                       save_names=self.save_names)
         y = nn.relu(y)
-        y = conv3x3_bn(y, self.features, 1, train, "conv2", "bn2")
+        y = conv3x3_bn(y, self.features, 1, train, "conv2", "bn2",
+                       save_names=self.save_names)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = Conv(self.features, kernel_size=1, stride=self.stride,
                             use_bias=False, name="downsample_conv")(x)
@@ -71,6 +77,7 @@ class BottleneckBlock(nn.Module):
 
     features: int  # bottleneck width; output = 4 * features
     stride: int = 1
+    save_names: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -79,7 +86,8 @@ class BottleneckBlock(nn.Module):
         y = Conv(self.features, kernel_size=1, use_bias=False, name="conv1")(x)
         y = BatchNorm(self.features, name="bn1")(y, use_running_average=not train)
         y = nn.relu(y)
-        y = conv3x3_bn(y, self.features, self.stride, train, "conv2", "bn2")
+        y = conv3x3_bn(y, self.features, self.stride, train, "conv2", "bn2",
+                       save_names=self.save_names)
         y = nn.relu(y)
         y = Conv(out_features, kernel_size=1, use_bias=False, name="conv3")(y)
         y = BatchNorm(out_features, name="bn3")(y, use_running_average=not train)
@@ -126,9 +134,10 @@ class ResNetEncoder(nn.Module):
         assert x.shape[-1] == self.n_channels
         stage_sizes, bottleneck = RESNET_CONFIGS[self.backbone]
         block_cls = BottleneckBlock if bottleneck else BasicBlock
+        save_names = self.use_remat and self.remat_policy == "save_convs"
         if self.use_remat:
             policy = (jax.checkpoint_policies.save_only_these_names("remat_save")
-                      if self.remat_policy == "save_convs" else None)
+                      if save_names else None)
             block_cls = nn.remat(block_cls, static_argnums=(2,), policy=policy)
         feats = []
         x = Conv(64, kernel_size=7, stride=2, padding=3, use_bias=False,
@@ -141,8 +150,8 @@ class ResNetEncoder(nn.Module):
                 zip(stage_sizes, self.stage_features)):
             for bi in range(n_blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
-                x = block_cls(features, stride, name=f"layer{si + 1}_{bi}")(
-                    x, train)
+                x = block_cls(features, stride, save_names,
+                              name=f"layer{si + 1}_{bi}")(x, train)
             feats.append(x)                   # strides 4, 8, 16, 32
         return feats
 

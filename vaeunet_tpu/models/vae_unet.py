@@ -132,6 +132,10 @@ class DecoderBlock(nn.Module):
     use_latent: bool = True
     skip_channels: int = 0      # required when fused and use_skip
     fused: bool = True
+    # emit checkpoint_name('remat_save') markers for the save_convs remat
+    # policy; off by default so the compiled HLO of the standard path is
+    # unchanged (the markers alter the module hash and force recompiles)
+    save_names: bool = False
 
     def setup(self):
         if self.use_latent:
@@ -175,12 +179,13 @@ class DecoderBlock(nn.Module):
             if skip is not None and self.use_skip and self.use_attention:
                 skip = self.attention(x, skip, train=train)
         has_skip = skip is not None and self.use_skip
-        # remat_policy='save_convs': these are the matmul-heavy products a
-        # selective rematerialization must NOT recompute (resize contraction,
-        # attention-gated skip); BN/ReLU between them is recomputed instead.
-        x = checkpoint_name(x, "remat_save")
-        if has_skip:
-            skip = checkpoint_name(skip, "remat_save")
+        if self.save_names:
+            # remat_policy='save_convs': the matmul-heavy products a
+            # selective rematerialization must NOT recompute (resize
+            # contraction, gated skip); BN/ReLU between them is recomputed.
+            x = checkpoint_name(x, "remat_save")
+            if has_skip:
+                skip = checkpoint_name(skip, "remat_save")
 
         if self.fused:
             y = self.conv1(x, 0)
@@ -205,9 +210,12 @@ class DecoderBlock(nn.Module):
                 z_sp = self.z_proj_bn(z_sp, use_running_average=not train)
                 components.append(nn.relu(z_sp))
             y = self.conv1(jnp.concatenate(components, axis=-1))
-        y = checkpoint_name(y, "remat_save")
+        if self.save_names:
+            y = checkpoint_name(y, "remat_save")
         y = nn.relu(self.bn1(y, use_running_average=not train))
-        y = checkpoint_name(self.conv2(y), "remat_save")
+        y = self.conv2(y)
+        if self.save_names:
+            y = checkpoint_name(y, "remat_save")
         y = nn.relu(self.bn2(y, use_running_average=not train))
         return y
 
@@ -278,9 +286,10 @@ class UNetResNet(nn.Module):
             (256, enc_ch[-4], 128),
             (128, enc_ch[0], 64),
         ]
+        save_names = self.use_remat and self.remat_policy == "save_convs"
         if self.use_remat:
             policy = (jax.checkpoint_policies.save_only_these_names("remat_save")
-                      if self.remat_policy == "save_convs" else None)
+                      if save_names else None)
             DB = nn.remat(DecoderBlock, static_argnums=(4,), policy=policy)
         else:
             DB = DecoderBlock
@@ -291,6 +300,7 @@ class UNetResNet(nn.Module):
                use_latent=use_latent[i],
                skip_channels=skip_ch,
                fused=self.fused_decoder,
+               save_names=save_names,
                name=f"decoder_{i}")
             for i, (in_ch, skip_ch, out_ch) in enumerate(plans)
         ]
