@@ -1,19 +1,22 @@
 #!/usr/bin/env python
-"""Cross-scale ensemble evaluation: combine per-image mean probability maps
-from checkpoints trained at different scales and sweep the mixing weight.
+"""Cross-scale ensemble evaluation: fuse per-image mean probability maps
+from N checkpoints (typically trained at different scales).
 
 Motivation (RESULTS.md round 2): the scale-0.5 model wins on small
 scattered lesions (IDRiD_80), the scale-1.0 model on confluent plaques
 (IDRiD_81) — the reference's ImageNet prior covers both with one model.
 A multi-scale ensemble is the TPU-native substitute: each member is an
 independent N-sample tempered ensemble (inference.segmentation_distribution),
-probability maps are fused at native resolution.
+probability maps are fused at native resolution (max or mean).
+
+For exactly two members, a linear mixing-weight sweep is also printed.
 
 Usage:
   python scripts/eval_scale_ensemble.py \
-      --ckpt-a checkpoints/r2b/EX_... --scale-a 0.5 \
-      --ckpt-b checkpoints/r2c/EX_... --scale-b 1.0 \
-      --lesion-type EX --data-dir /root/reference/data
+      --member checkpoints/r2b/EX_...@0.5 \
+      --member checkpoints/r2c/EX_...@1.0 \
+      --lesion-type EX --data-dir /root/reference/data \
+      --output-dir results/r2_ensemble_analysis
 """
 
 import argparse
@@ -27,12 +30,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def parse_member(spec: str):
+    path, _, scale = spec.rpartition("@")
+    if not path:
+        raise argparse.ArgumentTypeError(
+            f"--member must be CKPT_DIR@SCALE, got {spec!r}")
+    return path, float(scale)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt-a", required=True)
-    p.add_argument("--scale-a", type=float, default=0.5)
-    p.add_argument("--ckpt-b", required=True)
-    p.add_argument("--scale-b", type=float, default=1.0)
+    p.add_argument("--member", action="append", type=parse_member,
+                   required=True, metavar="CKPT_DIR@SCALE",
+                   help="Repeatable; e.g. checkpoints/r2b/EX_...@0.5")
     p.add_argument("--lesion-type", default="EX")
     p.add_argument("--data-dir", default="/root/reference/data")
     p.add_argument("--samples", type=int, default=10)
@@ -51,17 +61,6 @@ def main():
     from vaeunet_tpu.data.dataset import IDRIDDataset
     from vaeunet_tpu.inference.predict import segmentation_distribution
     from vaeunet_tpu.ops.resize import resize_bilinear
-
-    model_a, vars_a, _ = load_model_and_variables(args.ckpt_a)
-    model_b, vars_b, _ = load_model_and_variables(args.ckpt_b)
-
-    ds_a = IDRIDDataset(args.data_dir, split="test", scale=args.scale_a,
-                        patch_size=None, lesion_type=args.lesion_type,
-                        skip_border_check=True)
-    ds_b = IDRIDDataset(args.data_dir, split="test", scale=args.scale_b,
-                        patch_size=None, lesion_type=args.lesion_type,
-                        skip_border_check=True)
-
     from vaeunet_tpu.uncertainty import (
         calculate_expected_calibration_error,
         calculate_sparsification_metrics,
@@ -69,56 +68,66 @@ def main():
         calculate_uncertainty_error_dice,
     )
 
+    members = []        # (model, variables, dataset, scale)
+    gt_scale = max(s for _, s in args.member)
+    for path, scale in args.member:
+        model, variables, _ = load_model_and_variables(path)
+        ds = IDRIDDataset(args.data_dir, split="test", scale=scale,
+                          patch_size=None, lesion_type=args.lesion_type,
+                          skip_border_check=True)
+        members.append((model, variables, ds, scale))
+    gt_ds = next(ds for _, _, ds, s in members if s == gt_scale)
+
     rng = jax.random.PRNGKey(args.seed)
     weights = np.linspace(0.0, 1.0, 11)
-    dice_tbl = {}     # img -> [dice(w) for w in weights]
-    max_tbl = {}      # img -> dice of pixelwise-max fusion
+    pair_tbl = {}       # 2-member mixing sweep
+    fused_tbl = {}
     csv_rows = []
 
-    for img_id in ds_b.unique_image_ids():
-        img_a, _ = ds_a.get_image_and_mask(img_id)
-        img_b, mask_b = ds_b.get_image_and_mask(img_id)
-        gt = np.asarray(mask_b)[..., 0]
+    for img_id in gt_ds.unique_image_ids():
+        _, mask = gt_ds.get_image_and_mask(img_id)
+        gt = np.asarray(mask)[..., 0]
 
-        rng, sa, sb = jax.random.split(rng, 3)
-        samples_a, _, _ = segmentation_distribution(
-            model_a, vars_a, jnp.asarray(img_a), sa,
-            num_samples=args.samples, temperature=args.temperature,
-            patch_size=args.patch_size)
-        samples_b, _, _ = segmentation_distribution(
-            model_b, vars_b, jnp.asarray(img_b), sb,
-            num_samples=args.samples, temperature=args.temperature,
-            patch_size=args.patch_size)
-
-        mean_a = jnp.mean(samples_a, axis=0)               # [h/2, w/2, 1]
-        mean_a_up = resize_bilinear(mean_a, gt.shape[:2], align_corners=False)
-        pa = np.asarray(mean_a_up)[..., 0]
-        pb = np.asarray(jnp.mean(samples_b, axis=0))[..., 0]
+        probs, sample_stacks = [], []
+        for model, variables, ds, scale in members:
+            img, _ = ds.get_image_and_mask(img_id)
+            rng, sub = jax.random.split(rng)
+            samples, _, _ = segmentation_distribution(
+                model, variables, jnp.asarray(img), sub,
+                num_samples=args.samples, temperature=args.temperature,
+                patch_size=args.patch_size)
+            mean = jnp.mean(samples, axis=0)
+            if tuple(mean.shape[:2]) != gt.shape[:2]:
+                mean = resize_bilinear(mean, gt.shape[:2],
+                                       align_corners=False)
+                samples = resize_bilinear(samples, gt.shape[:2],
+                                          align_corners=False)
+            probs.append(np.asarray(mean)[..., 0])
+            sample_stacks.append(np.asarray(samples)[..., 0])
 
         def dice_of(prob):
             pred = (prob > 0.5).astype(np.float32)
             return float(2 * (pred * gt).sum() / (pred.sum() + gt.sum() + 1e-8))
 
-        dice_tbl[img_id] = [dice_of(w * pb + (1 - w) * pa) for w in weights]
-        max_tbl[img_id] = dice_of(np.maximum(pa, pb))
-        print(f"{img_id}: a(0.5)={dice_tbl[img_id][0]:.3f} "
-              f"b(1.0)={dice_tbl[img_id][-1]:.3f} "
-              f"mix0.5={dice_tbl[img_id][5]:.3f} max={max_tbl[img_id]:.3f}",
+        stack = np.stack(probs)
+        fused = stack.max(axis=0) if args.fusion == "max" else stack.mean(axis=0)
+        fused_tbl[img_id] = dice_of(fused)
+        singles = "  ".join(f"m{i}={dice_of(p):.3f}"
+                            for i, p in enumerate(probs))
+        print(f"{img_id}: {singles}  {args.fusion}-fused={fused_tbl[img_id]:.3f}",
               flush=True)
+        if len(members) == 2:
+            pa, pb = probs
+            pair_tbl[img_id] = [dice_of(w * pb + (1 - w) * pa)
+                                for w in weights]
 
         if args.output_dir:
             # Fused predictor metrics in the reference analyze_model.py
             # 7-column schema.  Probability map = the fused map; per-pixel
             # uncertainty = std over ALL member samples at native res.
-            fused = (np.maximum(pa, pb) if args.fusion == "max"
-                     else 0.5 * (pa + pb))
-            up_a = resize_bilinear(
-                jnp.asarray(samples_a), gt.shape[:2], align_corners=False)
-            pooled = np.concatenate(
-                [np.asarray(up_a)[..., 0], np.asarray(samples_b)[..., 0]])
+            pooled = np.concatenate(sample_stacks)
             std_dev = pooled.std(axis=0)
             pred_binary = (fused > 0.5).astype(np.float32)
-            dice = dice_of(fused)
             ece, *_ = calculate_expected_calibration_error(fused, gt)
             ue_dice = calculate_uncertainty_error_dice(std_dev, pred_binary, gt)
             frac, err_r, err_u = calculate_sparsification_metrics(
@@ -130,18 +139,21 @@ def main():
             se = float(np.trapezoid(norm_r - norm_u, frac))
             auroc, auprc = calculate_uncertainty_error_auc(fused, gt, std_dev)
             csv_rows.append({
-                "img_id": str(img_id), "dice": dice, "ece": ece,
+                "img_id": str(img_id), "dice": fused_tbl[img_id], "ece": ece,
                 "sparsification_error": se, "uncertainty_error_dice": ue_dice,
                 "error_auroc": auroc, "error_auprc": auprc,
             })
 
-    print("\nw_b  " + "  ".join(f"{w:.1f}" for w in weights))
-    for img_id, row in dice_tbl.items():
-        print(f"{img_id}: " + "  ".join(f"{d:.3f}" for d in row))
-    means = np.mean(np.array(list(dice_tbl.values())), axis=0)
-    print("mean: " + "  ".join(f"{d:.3f}" for d in means))
-    print(f"best mixed mean dice: {means.max():.4f} at w_b={weights[means.argmax()]:.1f}")
-    print(f"max-fusion mean dice: {np.mean(list(max_tbl.values())):.4f}")
+    if pair_tbl:
+        print("\nw_b  " + "  ".join(f"{w:.1f}" for w in weights))
+        for img_id, row in pair_tbl.items():
+            print(f"{img_id}: " + "  ".join(f"{d:.3f}" for d in row))
+        means = np.mean(np.array(list(pair_tbl.values())), axis=0)
+        print("mean: " + "  ".join(f"{d:.3f}" for d in means))
+        print(f"best mixed mean dice: {means.max():.4f} "
+              f"at w_b={weights[means.argmax()]:.1f}")
+    print(f"{args.fusion}-fusion mean dice: "
+          f"{np.mean(list(fused_tbl.values())):.4f}")
 
     if args.output_dir:
         import pandas as pd
