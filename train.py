@@ -24,6 +24,9 @@ def get_args():
                         default=1e-4)
     parser.add_argument("--load", "-f", type=str, default=False,
                         help="Load model weights from a .pth/.orbax checkpoint")
+    parser.add_argument("--reset-best", action="store_true", default=False,
+                        help="With --resume: start best-val tracking fresh "
+                        "(fine-tunes under a new objective save their own best)")
     parser.add_argument("--resume", type=str, default=None,
                         help="Resume full training state from a run dir")
     parser.add_argument("--scale", "-s", type=float, default=1.0)
@@ -141,6 +144,7 @@ def main():
         max_images=args.max_images,
         lesion_type=args.lesion_type,
         loss=args.loss,
+        reset_best=args.reset_best,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         use_remat=args.use_checkpointing,

@@ -62,6 +62,9 @@ class TrainConfig:
     # 'auto' = reference rule (MA->focal+dice, else BCE+dice);
     # 'combined'/'focal' force that loss for any lesion type
     loss: str = "auto"
+    # With --resume: do not carry the restored best-val score, so a
+    # fine-tune under a different objective saves its own best checkpoint
+    reset_best: bool = False
     skip_border_check: bool = False
     # >0 replicates large-lesion train patches (1 + min(4, floor(frac * k))
     # copies); compensates for the missing ImageNet-pretrained encoder on

@@ -199,8 +199,9 @@ def train_model(config: TrainConfig,
         # plus host-side controller state.
         from vaeunet_tpu.training.checkpoint import restore_checkpoint
         state, host = restore_checkpoint(resume_from, state)
-        best_val_score = host.get("best_val_score", best_val_score)
-        no_improvement = host.get("no_improvement", 0)
+        if not config.reset_best:
+            best_val_score = host.get("best_val_score", best_val_score)
+            no_improvement = host.get("no_improvement", 0)
         global_step = host.get("global_step", int(state.step))
         start_epoch = host.get("epoch", 0) + 1
         if "scheduler" in host:
