@@ -62,6 +62,56 @@ def test_nearest_matches_torch(in_hw, out_hw):
     assert (ours == ref).all()
 
 
+@pytest.mark.parametrize("axis_from_end,in_size,out_size", [
+    (3, 16, 31),   # H axis of NHWC, upscale
+    (2, 16, 31),   # W axis of NHWC, upscale
+    (3, 31, 16),   # H downscale
+    (2, 31, 16),   # W downscale
+    (4, 6, 11),    # generic moveaxis path (extra leading dim)
+])
+@pytest.mark.parametrize("align", [True, False])
+def test_mm_blend_value_and_grad_match_gather_path(axis_from_end, in_size,
+                                                   out_size, align):
+    """The TPU interp-matrix lowering (`_mm_blend`, with its custom VJP that
+    expresses the cotangent as a forward-form transposed-matrix contraction)
+    must match the gather/lerp parity path in both value and gradient."""
+    import jax
+    from vaeunet_tpu.ops import resize as R
+
+    rng = np.random.RandomState(4)
+    ndim = 5 if axis_from_end == 4 else 4
+    shape = [2] * (ndim - 3) + [in_size if axis_from_end == 3 else 7,
+                                in_size if axis_from_end == 2 else 7, 3]
+    if axis_from_end == 4:
+        shape = [2, in_size, 7, 7, 3]
+    x = rng.randn(*shape).astype(np.float32)
+    axis = ndim - axis_from_end
+
+    def gather(v):
+        coords = R._source_coords(in_size, out_size, align)
+        i0 = np.clip(np.floor(coords).astype(np.int32), 0, in_size - 1)
+        i1 = np.minimum(i0 + 1, in_size - 1)
+        lam = jnp.asarray((coords - i0).astype(np.float32))
+        s = [1] * v.ndim
+        s[axis] = out_size
+        lam = lam.reshape(s)
+        return (1.0 - lam) * jnp.take(v, i0, axis=axis) + \
+            lam * jnp.take(v, i1, axis=axis)
+
+    def mm(v):
+        return R._mm_blend(v, axis, in_size, out_size, align)
+
+    xj = jnp.asarray(x)
+    np.testing.assert_allclose(np.asarray(mm(xj)), np.asarray(gather(xj)),
+                               rtol=0, atol=1e-5)
+
+    ct = jnp.asarray(rng.randn(*mm(xj).shape).astype(np.float32))
+    g_mm = jax.grad(lambda v: jnp.sum(mm(v) * ct))(xj)
+    g_ga = jax.grad(lambda v: jnp.sum(gather(v) * ct))(xj)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ga),
+                               rtol=0, atol=1e-5)
+
+
 def test_broadcast_latent_equals_interp_of_1x1():
     """Interpolating a 1x1 map == broadcast (the reference does the former,
     unet_resnet.py:217-221; we do the latter)."""
