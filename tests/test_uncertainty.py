@@ -49,6 +49,23 @@ def test_sparsification_parity(reference_path, data):
     assert se == pytest.approx(float(np.trapezoid(rr - ru, rf)), abs=1e-6)
 
 
+def test_sparsification_survives_ulp_overshoot(data):
+    """Probabilities can overshoot 1.0 by ~1 ulp through the fp32
+    interp-matrix resize (max 1.0000001 observed on real maps); the
+    sparsification curve must not silently collapse to zeros (NaN pixel
+    errors previously skipped the whole image)."""
+    probs, gt, unc = data
+    hot = probs.copy()
+    hot.reshape(-1)[0] = 1.0000001
+    f, err_r, err_u = U.calculate_sparsification_metrics(hot, unc, gt)
+    assert err_r[0] > 0 and not np.isnan(err_r).any()
+    saturated = probs.copy()
+    saturated.reshape(-1)[0] = 1.0
+    clean = U.calculate_sparsification_metrics(saturated, unc, gt)
+    np.testing.assert_allclose(err_r, clean[1], atol=1e-6)
+    np.testing.assert_allclose(err_u, clean[2], atol=1e-6)
+
+
 def test_error_auc_parity(reference_path, data):
     from utils.uncertainty_metrics import calculate_uncertainty_error_auc as ref
     probs, gt, unc = data

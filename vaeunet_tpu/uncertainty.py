@@ -138,6 +138,12 @@ def calculate_sparsification_metrics(pred_probs, uncertainties, ground_truth,
         p, u, g = p[None], u[None], g[None]
     batch_size = p.shape[0]
     eps = 1e-7
+    # The reference's probabilities come straight from sigmoid and are always
+    # in [0,1]; ours may overshoot by ~1 ulp through the fp32 interp-matrix
+    # resize (max 1.0000001 observed), which would turn log(1-p+eps) NaN and
+    # silently zero the whole image's sparsification curve below.  Clipping
+    # is an identity for in-range inputs, so reference parity is unaffected.
+    p = np.clip(p, 0.0, 1.0)
     pixel_errors = -(g * np.log(p + eps) + (1 - g) * np.log(1 - p + eps))
     pe = pixel_errors.reshape(batch_size, -1)
     uf = u.reshape(batch_size, -1)
