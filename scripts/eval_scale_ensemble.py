@@ -49,7 +49,19 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--patch-size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--fusion", choices=["max", "mean"], default="max")
+    p.add_argument("--fusion", choices=["max", "mean", "noisyor"],
+                   default="max",
+                   help="noisyor: 1 - prod((1-p_m)^w) — a union of "
+                        "independent detectors; boosts low-confidence "
+                        "small-lesion hits that max-fusion leaves under "
+                        "the decision threshold")
+    p.add_argument("--fusion-weight", type=float, default=1.0,
+                   help="Exponent w for noisyor fusion (>1 sharpens the union)")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="Decision threshold on the fused probability map")
+    p.add_argument("--split", default="test", choices=["test", "val", "train"],
+                   help="Dataset split to evaluate (use val to select "
+                        "fusion hyperparameters without touching test)")
     p.add_argument("--output-dir", default=None,
                    help="If set, write the reference-schema analysis_metrics.csv "
                         "for the fused predictor under "
@@ -72,7 +84,7 @@ def main():
     gt_scale = max(s for _, s in args.member)
     for path, scale in args.member:
         model, variables, _ = load_model_and_variables(path)
-        ds = IDRIDDataset(args.data_dir, split="test", scale=scale,
+        ds = IDRIDDataset(args.data_dir, split=args.split, scale=scale,
                           patch_size=None, lesion_type=args.lesion_type,
                           skip_border_check=True)
         members.append((model, variables, ds, scale))
@@ -106,11 +118,18 @@ def main():
             sample_stacks.append(np.asarray(samples)[..., 0])
 
         def dice_of(prob):
-            pred = (prob > 0.5).astype(np.float32)
+            pred = (prob > args.threshold).astype(np.float32)
             return float(2 * (pred * gt).sum() / (pred.sum() + gt.sum() + 1e-8))
 
-        stack = np.stack(probs)
-        fused = stack.max(axis=0) if args.fusion == "max" else stack.mean(axis=0)
+        # 1-ulp bilinear overshoot can push probs past 1.0; clip before
+        # fusion so (1-p)^w stays real (see uncertainty.py sparsification fix)
+        stack = np.clip(np.stack(probs), 0.0, 1.0)
+        if args.fusion == "max":
+            fused = stack.max(axis=0)
+        elif args.fusion == "mean":
+            fused = stack.mean(axis=0)
+        else:
+            fused = 1.0 - np.prod((1.0 - stack) ** args.fusion_weight, axis=0)
         fused_tbl[img_id] = dice_of(fused)
         singles = "  ".join(f"m{i}={dice_of(p):.3f}"
                             for i, p in enumerate(probs))
@@ -127,7 +146,7 @@ def main():
             # uncertainty = std over ALL member samples at native res.
             pooled = np.concatenate(sample_stacks)
             std_dev = pooled.std(axis=0)
-            pred_binary = (fused > 0.5).astype(np.float32)
+            pred_binary = (fused > args.threshold).astype(np.float32)
             ece, *_ = calculate_expected_calibration_error(fused, gt)
             ue_dice = calculate_uncertainty_error_dice(std_dev, pred_binary, gt)
             frac, err_r, err_u = calculate_sparsification_metrics(
