@@ -30,6 +30,20 @@ __version__ = "0.1.0"
 # with VAEUNET_TPU_NO_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
 import os as _os
 
+# Honor JAX_PLATFORMS even under out-of-tree backend plugins that ignore the
+# env var (the tunneled axon TPU plugin does): a user exporting
+# JAX_PLATFORMS=cpu means "do not touch the accelerator", and silently
+# attaching to a remote TPU instead is both wrong and (on this tunnel)
+# hazardous — rapid attach/detach cycles wedge it.  jax.config.update is the
+# binding route the plugin does respect.
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialized — too late, leave it
+        pass
+
 if not _os.environ.get("VAEUNET_TPU_NO_CACHE"):
     import jax as _jax
 
