@@ -8,7 +8,11 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the session environment may export
+# JAX_PLATFORMS=axon globally, and anything downstream that re-reads the
+# env var must see "cpu" — tests silently running on the tunneled TPU both
+# fail parity (MXU bf16 matmul error ~3e-3) and hazard the axon tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -40,7 +40,17 @@ if _os.environ.get("JAX_PLATFORMS"):
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        # Rebind only when the current config still looks like the ambient
+        # default: out-of-tree plugin site hooks expand the env var into a
+        # list (e.g. JAX_PLATFORMS=cpu -> config "axon,cpu"), which silently
+        # re-enables the accelerator the user opted out of.  A prior explicit
+        # jax.config.update to something NOT containing the env platform
+        # (e.g. a test harness forcing "cpu" under an exported
+        # JAX_PLATFORMS=axon) must win over the env var.
+        _env = _os.environ["JAX_PLATFORMS"]
+        _cur = getattr(_jax.config, "jax_platforms", None)
+        if not _cur or (_env in str(_cur).split(",") and _cur != _env):
+            _jax.config.update("jax_platforms", _env)
     except Exception:  # backend already initialized — too late, leave it
         pass
 

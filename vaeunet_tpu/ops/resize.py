@@ -18,12 +18,17 @@ keeps fp32 rounding identical to the reference implementation.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B switch for the exact-2x banded lowering (set "0" to force the
+# interp-matrix contraction everywhere — used by perf drives).
+_BAND2X = os.environ.get("VAEUNET_RESIZE_BAND2X", "1") != "0"
 
 
 def _source_coords(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
@@ -103,6 +108,101 @@ def _mm_blend_bwd(axis, in_size, out_size, align_corners, _res, g):
 _mm_blend.defvjp(_mm_blend_fwd, _mm_blend_bwd)
 
 
+def _band_weights_up2(in_size: int, align_corners: bool):
+    """Per-parity 3-tap band weights for the exact-2x linear upsample.
+
+    For both coordinate conventions the [2H, H] interp matrix restricted to
+    one output parity p is 3-banded: row k draws only on columns k-1..k+1
+    (verified by construction below).  Returns w[p] of shape [3, H] with
+    ``out[2k+p] = sum_d w[p][d+1, k] * x[k+d]`` (zero outside the range).
+    """
+    m = _interp_matrix(in_size, 2 * in_size, align_corners)
+    ws = []
+    for p in (0, 1):
+        rows = m[p::2]                       # [H, H]
+        w = np.zeros((3, in_size), np.float32)
+        for d in (-1, 0, 1):
+            diag = np.diagonal(rows, offset=d)
+            if d >= 0:
+                w[d + 1, : in_size - d] = diag
+            else:
+                w[d + 1, -d:] = diag
+        if not np.allclose(w.sum(0), rows.sum(1)):
+            raise AssertionError("2x interp matrix is not 3-banded")
+        ws.append(w)
+    return ws
+
+
+def _axis_vec(v: np.ndarray, x_ndim: int, axis: int, dtype) -> jnp.ndarray:
+    shape = [1] * x_ndim
+    shape[axis] = v.shape[0]
+    return jnp.asarray(v.reshape(shape), dtype=dtype)
+
+
+def _shift(x: jnp.ndarray, axis: int, e: int) -> jnp.ndarray:
+    """result[k] = x[k+e] along `axis`, zero-padded out of range."""
+    if e == 0:
+        return x
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(0, -e), max(0, e))
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(max(0, e), max(0, e) + n)
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _band_blend_up2(x: jnp.ndarray, axis: int, in_size: int,
+                    align_corners: bool) -> jnp.ndarray:
+    """Exact-2x linear upsample as shifted elementwise blends + interleave.
+
+    Equivalent to ``_mm_blend(x, axis, in_size, 2*in_size, ...)`` but lowered
+    as VPU work inside loop fusions: unlike a dot_general, whose output
+    layout is fixed by the MXU emitter and forces full-activation relayout
+    copies in front of the TPU conv emitters' preferred layouts (~2.7 GB per
+    train step measured across the decoder resizes), an elementwise producer
+    can be emitted directly in whatever layout its consumer wants.  The VJP
+    is the transposed band — again shifted elementwise blends.
+    """
+    w0, w1 = _band_weights_up2(in_size, align_corners)
+    parts = []
+    for w in (w0, w1):
+        acc = None
+        for d in (-1, 0, 1):
+            term = _axis_vec(w[d + 1], x.ndim, axis, x.dtype) * _shift(x, axis, d)
+            acc = term if acc is None else acc + term
+        parts.append(acc)
+    y = jnp.stack(parts, axis=axis + 1)      # [..., H, 2, ...]
+    shape = list(x.shape)
+    shape[axis] = 2 * in_size
+    return y.reshape(shape)
+
+
+def _band_blend_up2_fwd(x, axis, in_size, align_corners):
+    return _band_blend_up2(x, axis, in_size, align_corners), None
+
+
+def _band_blend_up2_bwd(axis, in_size, align_corners, _res, g):
+    # dx[k] = sum_{p, e in {-1,0,1}} w[p][1-e, k+e] * g[2(k+e)+p]
+    ws = _band_weights_up2(in_size, align_corners)
+    shape = list(g.shape)
+    shape[axis : axis + 1] = [in_size, 2]
+    gp = g.reshape(shape)                    # [..., H, 2, ...]
+    sl = [slice(None)] * gp.ndim
+    dx = None
+    for p in (0, 1):
+        sl[axis + 1] = p
+        gpp = gp[tuple(sl)]                  # [..., H, ...]
+        for e in (-1, 0, 1):
+            w = _axis_vec(ws[p][1 - e], gpp.ndim, axis, g.dtype)
+            term = _shift(w * gpp, axis, e)
+            dx = term if dx is None else dx + term
+    return (dx,)
+
+
+_band_blend_up2.defvjp(_band_blend_up2_fwd, _band_blend_up2_bwd)
+
+
 def _gather_blend(x: jnp.ndarray, axis: int, in_size: int, out_size: int,
                   align_corners: bool) -> jnp.ndarray:
     """Linear interpolation of `x` along `axis` to `out_size`.
@@ -119,6 +219,8 @@ def _gather_blend(x: jnp.ndarray, axis: int, in_size: int, out_size: int,
     if in_size == out_size:
         return x
     if jax.default_backend() == "tpu":
+        if _BAND2X and out_size == 2 * in_size and axis >= x.ndim - 3:
+            return _band_blend_up2(x, axis, in_size, align_corners)
         return _mm_blend(x, axis, in_size, out_size, align_corners)
 
     coords = _source_coords(in_size, out_size, align_corners)
