@@ -69,7 +69,10 @@ def smoothed(mean_by_thr: np.ndarray) -> np.ndarray:
 
 
 class MapCache:
-    def __init__(self, root: Path):
+    def __init__(self, root: Path, keep_probs: bool = False):
+        """keep_probs=True holds every loaded probability map in RAM —
+        greedy selection re-reads each (label, image) map once per candidate
+        per round, so disk re-loads dominate its runtime otherwise."""
         self.root = root
         self.img_ids = sorted(p.stem[3:] for p in root.glob("gt_*.npy"))
         self.labels = sorted({p.stem.rsplit("_IDRiD", 1)[0]
@@ -81,6 +84,7 @@ class MapCache:
                        if all((root / f"{l}_{i}.npy").exists()
                               for i in self.img_ids)]
         self._gt = {}
+        self._probs = {} if keep_probs else None
 
     def gt(self, img):
         if img not in self._gt:
@@ -88,25 +92,39 @@ class MapCache:
         return self._gt[img]
 
     def prob(self, label, img):
-        return np.clip(np.load(self.root / f"{label}_{img}.npy"), 0.0, 1.0)
+        if self._probs is not None and (label, img) in self._probs:
+            return self._probs[(label, img)]
+        p = np.clip(np.load(self.root / f"{label}_{img}.npy"), 0.0, 1.0)
+        if self._probs is not None:
+            self._probs[(label, img)] = p
+        return p
 
     def moments(self, label, img):
         return np.load(self.root / f"{label}_{img}_mom.npy")
 
 
-def eval_combo(cache: MapCache, combo, methods=METHODS):
-    """Returns {(method, w): smoothed-mean-dice-by-threshold}."""
-    sums = {mk: np.zeros(len(THR_GRID)) for mk in methods}
+_OBJECTIVES = {
+    "mean": lambda a: a.mean(0),
+    "min": lambda a: a.min(0),            # worst val image (robustness)
+    "q25": lambda a: np.percentile(a, 25, axis=0),
+    "meanmin": lambda a: 0.5 * (a.mean(0) + a.min(0)),
+}
+
+
+def eval_combo(cache: MapCache, combo, methods=METHODS, objective="mean"):
+    """Returns {(method, w): smoothed-objective-dice-by-threshold}."""
+    per = {mk: [] for mk in methods}
     for img in cache.img_ids:
         gt = cache.gt(img)
         stack = np.stack([cache.prob(l, img) for l in combo])
         for mk in methods:
-            sums[mk] += dice_at_thresholds(fuse(stack, *mk), gt)
-    n = len(cache.img_ids)
-    return {mk: smoothed(s / n) for mk, s in sums.items()}
+            per[mk].append(dice_at_thresholds(fuse(stack, *mk), gt))
+    agg = _OBJECTIVES[objective]
+    return {mk: smoothed(agg(np.asarray(rows))) for mk, rows in per.items()}
 
 
-def greedy_select(cache: MapCache, max_members: int, verbose=True):
+def greedy_select(cache: MapCache, max_members: int, verbose=True,
+                  objective="mean"):
     """Greedy forward selection on smoothed val dice.  Each round adds the
     member whose addition (with fusion rule and threshold re-tuned) scores
     highest; stops when the gain over the running best drops under 1e-3
@@ -120,7 +138,7 @@ def greedy_select(cache: MapCache, max_members: int, verbose=True):
             if cand in chosen:
                 continue
             trial = chosen + [cand]
-            table = eval_combo(cache, trial)
+            table = eval_combo(cache, trial, objective=objective)
             for mk, scores in table.items():
                 k = int(scores.argmax())
                 if scores[k] > round_best[0]:
@@ -142,11 +160,11 @@ def greedy_select(cache: MapCache, max_members: int, verbose=True):
     return best
 
 
-def exhaustive_select(cache: MapCache, max_members: int):
+def exhaustive_select(cache: MapCache, max_members: int, objective="mean"):
     best = (-1.0, None, None, None)
     for r in range(1, min(max_members, len(cache.labels)) + 1):
         for combo in itertools.combinations(cache.labels, r):
-            table = eval_combo(cache, combo)
+            table = eval_combo(cache, combo, objective=objective)
             for mk, scores in table.items():
                 k = int(scores.argmax())
                 if scores[k] > best[0]:
@@ -215,6 +233,12 @@ def main():
     p.add_argument("--max-members", type=int, default=5)
     p.add_argument("--strategy", choices=["greedy", "exhaustive"],
                    default="greedy")
+    p.add_argument("--objective", choices=sorted(_OBJECTIVES),
+                   default="mean",
+                   help="Val aggregation the selection maximizes: mean, or "
+                        "robustness-oriented min / q25 / meanmin")
+    p.add_argument("--cache-maps", action="store_true",
+                   help="Hold all probability maps in RAM during selection")
     p.add_argument("--members", nargs="*", default=None,
                    help="Restrict the candidate pool to these labels")
     p.add_argument("--point-json", default=None,
@@ -225,7 +249,7 @@ def main():
     if args.point_json:
         point = json.loads(Path(args.point_json).read_text())
     else:
-        val_cache = MapCache(Path(args.val_dir))
+        val_cache = MapCache(Path(args.val_dir), keep_probs=args.cache_maps)
         if args.members:
             val_cache.labels = [l for l in val_cache.labels
                                 if l in args.members]
@@ -234,12 +258,15 @@ def main():
                             if l in test_cache.labels]
         print(f"val: {len(val_cache.img_ids)} images, "
               f"candidates: {val_cache.labels}")
-        sel = (greedy_select(val_cache, args.max_members)
+        sel = (greedy_select(val_cache, args.max_members,
+                             objective=args.objective)
                if args.strategy == "greedy"
-               else exhaustive_select(val_cache, args.max_members))
+               else exhaustive_select(val_cache, args.max_members,
+                                      objective=args.objective))
         score, combo, (method, w), k = sel
         point = {"members": sorted(combo), "fusion": method, "weight": w,
                  "threshold": float(THR_GRID[k]),
+                 "objective": args.objective,
                  "val_dice_smoothed": score}
         print(f"frozen operating point: {json.dumps(point)}")
         out = Path(args.output_dir)

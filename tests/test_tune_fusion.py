@@ -75,6 +75,31 @@ def test_greedy_selects_informative_members(tmp_path):
     assert score > 0.95
 
 
+def test_objectives_and_prob_cache(tmp_path):
+    """min-objective scores the worst image; keep_probs returns identical
+    arrays without re-reading disk."""
+    img_ids = ["IDRiD_01", "IDRiD_02"]
+    gts, maps = {}, {}
+    for j, i in enumerate(img_ids):
+        gt = np.zeros((16, 16), bool)
+        gt[:8] = True
+        gts[i] = gt
+        m = np.zeros((16, 16), np.float32)
+        # member nails image 0, half-covers image 1
+        m[: (8 if j == 0 else 4)] = 0.9
+        maps[("a", i)] = m
+    _write_maps(tmp_path, ["a"], img_ids, maps, gts)
+    cache = tf.MapCache(tmp_path, keep_probs=True)
+    t_mean = tf.eval_combo(cache, ["a"], objective="mean")
+    t_min = tf.eval_combo(cache, ["a"], objective="min")
+    mk = ("max", 1.0)
+    assert t_min[mk].max() < t_mean[mk].max()  # worst image caps the score
+    p1 = cache.prob("a", "IDRiD_01")
+    (tmp_path / "a_IDRiD_01.npy").unlink()    # cached: disk copy not needed
+    p2 = cache.prob("a", "IDRiD_01")
+    assert p1 is p2
+
+
 def test_apply_point_writes_reference_schema(tmp_path):
     img_ids = ["IDRiD_01"]
     gt = np.zeros((16, 16), bool)
