@@ -35,6 +35,11 @@ import numpy as np
 
 THR_GRID = np.array([0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40,
                      0.45, 0.50, 0.55, 0.60])
+# Area-matching mode: per-image threshold t s.t. |{p > t}| = w_a * sum(p).
+# sum(p) is the calibration-consistent estimate of lesion area, so the rule
+# adapts to under-confident images (low max-prob, but nonzero soft mass)
+# without any per-image supervision; w_a is the only tuned parameter.
+AREA_GRID = np.array([0.50, 0.65, 0.80, 0.90, 1.00, 1.10, 1.25, 1.50, 2.00])
 METHODS = [("max", 1.0), ("mean", 1.0),
            ("noisyor", 0.5), ("noisyor", 1.0), ("noisyor", 1.5),
            ("noisyor", 2.0)]
@@ -49,17 +54,47 @@ def fuse(stack: np.ndarray, method: str, w: float) -> np.ndarray:
     return 1.0 - np.prod((1.0 - stack) ** w, axis=0)
 
 
-def dice_at_thresholds(prob: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    """Dice at every THR_GRID point in one histogram pass."""
+def _hist_cumsums(prob: np.ndarray, gt: np.ndarray):
+    """(cp, cn, g): counts of positive/negative pixels above each bin edge."""
     hp, _ = np.histogram(prob[gt], bins=BINS)
     hn, _ = np.histogram(prob[~gt], bins=BINS)
-    cp = hp[::-1].cumsum()[::-1]
-    cn = hn[::-1].cumsum()[::-1]
-    g = gt.sum()
-    idx = np.searchsorted(BINS, THR_GRID, side="left")
+    cp = np.concatenate([hp[::-1].cumsum()[::-1], [0]])
+    cn = np.concatenate([hn[::-1].cumsum()[::-1], [0]])
+    return cp, cn, int(gt.sum())
+
+
+def _dice_at(cp, cn, g, thr: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(BINS, thr, side="left")
     tp = cp[idx]
     pp = cp[idx] + cn[idx]
     return 2.0 * tp / (pp + g + 1e-8)
+
+
+def dice_at_thresholds(prob: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Dice at every THR_GRID point in one histogram pass."""
+    cp, cn, g = _hist_cumsums(prob, gt)
+    return _dice_at(cp, cn, g, THR_GRID)
+
+
+def area_thresholds(prob: np.ndarray, cp, cn) -> np.ndarray:
+    """Per-image thresholds for every AREA_GRID factor: smallest bin edge t
+    where the predicted area |{p > t}| drops to w_a * sum(p)."""
+    counts = cp + cn          # pixels above each bin edge (len BINS+ sentinel)
+    soft_mass = float(prob.sum())
+    thrs = np.empty_like(AREA_GRID)
+    for j, wa in enumerate(AREA_GRID):
+        target = wa * soft_mass
+        # counts is non-increasing along bin edges; find first edge <= target
+        k = np.searchsorted(-counts, -target, side="left")
+        k = min(k, len(BINS) - 1)
+        thrs[j] = BINS[k]
+    return thrs
+
+
+def dice_at_area_factors(prob: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Dice at every AREA_GRID factor with the per-image adaptive threshold."""
+    cp, cn, g = _hist_cumsums(prob, gt)
+    return _dice_at(cp, cn, g, area_thresholds(prob, cp, cn))
 
 
 def smoothed(mean_by_thr: np.ndarray) -> np.ndarray:
@@ -111,26 +146,39 @@ _OBJECTIVES = {
 }
 
 
-def eval_combo(cache: MapCache, combo, methods=METHODS, objective="mean"):
-    """Returns {(method, w): smoothed-objective-dice-by-threshold}."""
-    per = {mk: [] for mk in methods}
+def eval_combo(cache: MapCache, combo, methods=METHODS, objective="mean",
+               modes=("fixed",)):
+    """Returns {(method, w, mode): smoothed-objective-dice-by-gridpoint}.
+    mode "fixed" scores over THR_GRID; "area" over AREA_GRID."""
+    keys = [(m, w, mode) for (m, w) in methods for mode in modes]
+    per = {k: [] for k in keys}
     for img in cache.img_ids:
         gt = cache.gt(img)
         stack = np.stack([cache.prob(l, img) for l in combo])
-        for mk in methods:
-            per[mk].append(dice_at_thresholds(fuse(stack, *mk), gt))
+        for m, w in methods:
+            fused = fuse(stack, m, w)
+            cp, cn, g = _hist_cumsums(fused, gt)
+            if "fixed" in modes:
+                per[(m, w, "fixed")].append(_dice_at(cp, cn, g, THR_GRID))
+            if "area" in modes:
+                per[(m, w, "area")].append(
+                    _dice_at(cp, cn, g, area_thresholds(fused, cp, cn)))
     agg = _OBJECTIVES[objective]
-    return {mk: smoothed(agg(np.asarray(rows))) for mk, rows in per.items()}
+    return {k: smoothed(agg(np.asarray(rows))) for k, rows in per.items()}
+
+
+def _grid_value(mode: str, k: int) -> float:
+    return float((THR_GRID if mode == "fixed" else AREA_GRID)[k])
 
 
 def greedy_select(cache: MapCache, max_members: int, verbose=True,
-                  objective="mean"):
+                  objective="mean", modes=("fixed",)):
     """Greedy forward selection on smoothed val dice.  Each round adds the
     member whose addition (with fusion rule and threshold re-tuned) scores
     highest; stops when the gain over the running best drops under 1e-3
     once at least two members are chosen."""
     chosen: list = []
-    best = (-1.0, None, None, None)  # score, combo, (method, w), thr_idx
+    best = (-1.0, None, None, None)  # score, combo, (method,w,mode), grid idx
 
     while len(chosen) < max_members:
         round_best = (-1.0, None, None, None)
@@ -138,7 +186,7 @@ def greedy_select(cache: MapCache, max_members: int, verbose=True,
             if cand in chosen:
                 continue
             trial = chosen + [cand]
-            table = eval_combo(cache, trial, objective=objective)
+            table = eval_combo(cache, trial, objective=objective, modes=modes)
             for mk, scores in table.items():
                 k = int(scores.argmax())
                 if scores[k] > round_best[0]:
@@ -154,17 +202,18 @@ def greedy_select(cache: MapCache, max_members: int, verbose=True,
             best = round_best
         chosen = list(round_best[1])
         if verbose:
-            m, w = round_best[2]
+            m, w, mode = round_best[2]
             print(f"  +{chosen[-1]}: val {round_best[0]:.4f} "
-                  f"({m} w={w} thr={THR_GRID[round_best[3]]:.2f})")
+                  f"({m} w={w} {mode}={_grid_value(mode, round_best[3]):.2f})")
     return best
 
 
-def exhaustive_select(cache: MapCache, max_members: int, objective="mean"):
+def exhaustive_select(cache: MapCache, max_members: int, objective="mean",
+                      modes=("fixed",)):
     best = (-1.0, None, None, None)
     for r in range(1, min(max_members, len(cache.labels)) + 1):
         for combo in itertools.combinations(cache.labels, r):
-            table = eval_combo(cache, combo, objective=objective)
+            table = eval_combo(cache, combo, objective=objective, modes=modes)
             for mk, scores in table.items():
                 k = int(scores.argmax())
                 if scores[k] > best[0]:
@@ -188,13 +237,23 @@ def apply_point(cache: MapCache, point, out_dir: Path, protocol: str,
 
     combo = point["members"]
     method, w, thr = point["fusion"], point["weight"], point["threshold"]
+    mode = point.get("threshold_mode", "fixed")
     rows = []
     n_total = n_samples_per_member * len(combo)
     for img in cache.img_ids:
         gt = cache.gt(img).astype(np.float32)
         stack = np.stack([cache.prob(l, img) for l in combo])
         fused = fuse(stack, method, w)
-        pred = (fused > thr).astype(np.float32)
+        if mode == "area":
+            counts = np.concatenate(
+                [np.histogram(fused, bins=BINS)[0][::-1].cumsum()[::-1], [0]])
+            k = np.searchsorted(-counts, -(thr * float(fused.sum())),
+                                side="left")
+            t_img = float(BINS[min(k, len(BINS) - 1)])
+            print(f"  test {img}: adaptive thr {t_img:.3f}")
+        else:
+            t_img = thr
+        pred = (fused > t_img).astype(np.float32)
         d = float(2 * (pred * gt).sum() / (pred.sum() + gt.sum() + 1e-8))
         s1 = np.sum([cache.moments(l, img)[0] for l in combo], axis=0)
         s2 = np.sum([cache.moments(l, img)[1] for l in combo], axis=0)
@@ -237,6 +296,10 @@ def main():
                    default="mean",
                    help="Val aggregation the selection maximizes: mean, or "
                         "robustness-oriented min / q25 / meanmin")
+    p.add_argument("--threshold-modes", nargs="+", default=["fixed"],
+                   choices=["fixed", "area"],
+                   help="Decision-rule families to search: fixed global "
+                        "threshold, and/or per-image expected-area matching")
     p.add_argument("--cache-maps", action="store_true",
                    help="Hold all probability maps in RAM during selection")
     p.add_argument("--members", nargs="*", default=None,
@@ -258,14 +321,16 @@ def main():
                             if l in test_cache.labels]
         print(f"val: {len(val_cache.img_ids)} images, "
               f"candidates: {val_cache.labels}")
+        modes = tuple(args.threshold_modes)
         sel = (greedy_select(val_cache, args.max_members,
-                             objective=args.objective)
+                             objective=args.objective, modes=modes)
                if args.strategy == "greedy"
                else exhaustive_select(val_cache, args.max_members,
-                                      objective=args.objective))
-        score, combo, (method, w), k = sel
+                                      objective=args.objective, modes=modes))
+        score, combo, (method, w, mode), k = sel
         point = {"members": sorted(combo), "fusion": method, "weight": w,
-                 "threshold": float(THR_GRID[k]),
+                 "threshold_mode": mode,
+                 "threshold": _grid_value(mode, k),
                  "objective": args.objective,
                  "val_dice_smoothed": score}
         print(f"frozen operating point: {json.dumps(point)}")

@@ -70,9 +70,11 @@ def test_greedy_selects_informative_members(tmp_path):
 
     cache = tf.MapCache(tmp_path)
     assert sorted(cache.labels) == ["left", "noise", "right"]
-    score, combo, (method, w), k = tf.greedy_select(cache, 3, verbose=False)
+    score, combo, (method, w, mode), k = tf.greedy_select(
+        cache, 3, verbose=False)
     assert set(combo) == {"left", "right"}
     assert score > 0.95
+    assert mode == "fixed"
 
 
 def test_objectives_and_prob_cache(tmp_path):
@@ -92,12 +94,78 @@ def test_objectives_and_prob_cache(tmp_path):
     cache = tf.MapCache(tmp_path, keep_probs=True)
     t_mean = tf.eval_combo(cache, ["a"], objective="mean")
     t_min = tf.eval_combo(cache, ["a"], objective="min")
-    mk = ("max", 1.0)
+    mk = ("max", 1.0, "fixed")
     assert t_min[mk].max() < t_mean[mk].max()  # worst image caps the score
     p1 = cache.prob("a", "IDRiD_01")
     (tmp_path / "a_IDRiD_01.npy").unlink()    # cached: disk copy not needed
     p2 = cache.prob("a", "IDRiD_01")
     assert p1 is p2
+
+
+def _haze_map(shape, lesion_slice, lesion_conf, haze_slice, haze_conf):
+    """A tiny confident core over a broad low-probability haze — the
+    under-confident-image regime (IDRiD_80): soft mass is dominated by the
+    haze, so area matching lands the threshold just above it and keeps the
+    core without flooding false positives the way a fixed low threshold does."""
+    m = np.zeros(shape, np.float32)
+    m[haze_slice] = haze_conf
+    m[lesion_slice] = lesion_conf
+    gt = np.zeros(shape, bool)
+    gt[lesion_slice] = True
+    return m, gt
+
+
+def test_area_threshold_caps_predicted_area():
+    """The wa=1.0 threshold makes |{p > t}| the largest achievable count
+    <= sum(p); on a haze-dominated map that keeps exactly the confident core."""
+    m, gt = _haze_map((64, 64), (slice(2, 6), slice(2, 6)), 0.32,
+                      (slice(16, 48), slice(16, 48)), 0.22)
+    cp, cn, g = tf._hist_cumsums(m, gt)
+    thrs = tf.area_thresholds(m, cp, cn)
+    k = list(tf.AREA_GRID).index(1.0)
+    # soft mass ~ 230 (haze) + 5 (core): threshold lands above the haze
+    assert 0.22 <= thrs[k] < 0.32
+    assert ((m > thrs[k]) == gt).all()
+    d_area = tf.dice_at_area_factors(m, gt)[k]
+    assert d_area == pytest.approx(1.0, abs=1e-6)
+    # no fixed grid threshold separates this image AND its half-confidence
+    # sibling; the adaptive rule nails both
+    m2, gt2 = _haze_map((64, 64), (slice(2, 6), slice(2, 6)), 0.16,
+                        (slice(16, 48), slice(16, 48)), 0.11)
+    d2_area = tf.dice_at_area_factors(m2, gt2)[k]
+    assert d2_area == pytest.approx(1.0, abs=1e-6)
+    fixed_pair = np.minimum(tf.dice_at_thresholds(m, gt),
+                            tf.dice_at_thresholds(m2, gt2))
+    assert fixed_pair.max() < 0.5
+
+
+def test_greedy_can_select_area_mode(tmp_path):
+    """Per-image confidence shift across the split: no fixed threshold works
+    for both images, so the combined search freezes an area-mode point."""
+    m1, g1 = _haze_map((32, 32), (slice(2, 6), slice(2, 6)), 0.32,
+                       (slice(8, 28), slice(8, 28)), 0.22)
+    m2, g2 = _haze_map((32, 32), (slice(2, 6), slice(2, 6)), 0.16,
+                       (slice(8, 28), slice(8, 28)), 0.11)
+    _write_maps(tmp_path, ["a"], ["IDRiD_01", "IDRiD_02"],
+                {("a", "IDRiD_01"): m1, ("a", "IDRiD_02"): m2},
+                {"IDRiD_01": g1, "IDRiD_02": g2})
+    cache = tf.MapCache(tmp_path)
+    score, combo, (method, w, mode), k = tf.greedy_select(
+        cache, 1, verbose=False, modes=("fixed", "area"))
+    assert mode == "area"
+    assert score > 0.9
+
+
+def test_apply_point_area_mode(tmp_path):
+    m, gt = _haze_map((16, 16), (slice(2, 4), slice(2, 4)), 0.30,
+                      (slice(6, 14), slice(6, 14)), 0.20)
+    _write_maps(tmp_path, ["a"], ["IDRiD_01"], {("a", "IDRiD_01"): m},
+                {"IDRiD_01": gt})
+    cache = tf.MapCache(tmp_path)
+    point = {"members": ["a"], "fusion": "max", "weight": 1.0,
+             "threshold_mode": "area", "threshold": 1.0}
+    mean = tf.apply_point(cache, point, tmp_path / "out", "EX_T1.0_N10", 10)
+    assert mean > 0.9
 
 
 def test_apply_point_writes_reference_schema(tmp_path):
