@@ -104,11 +104,15 @@ def smoothed(mean_by_thr: np.ndarray) -> np.ndarray:
 
 
 class MapCache:
-    def __init__(self, root: Path, keep_probs: bool = False):
+    def __init__(self, root: Path, keep_probs: bool = False, stride: int = 1):
         """keep_probs=True holds every loaded probability map in RAM —
         greedy selection re-reads each (label, image) map once per candidate
-        per round, so disk re-loads dominate its runtime otherwise."""
+        per round, so disk re-loads dominate its runtime otherwise.
+        stride>1 decimates maps spatially (selection-time speedup on the
+        1-core host; dice over a regular subsample tracks full-res dice —
+        the frozen point is always APPLIED at full resolution)."""
         self.root = root
+        self.stride = int(stride)
         self.img_ids = sorted(p.stem[3:] for p in root.glob("gt_*.npy"))
         self.labels = sorted({p.stem.rsplit("_IDRiD", 1)[0]
                               for p in root.glob("*_IDRiD_*.npy")
@@ -123,13 +127,15 @@ class MapCache:
 
     def gt(self, img):
         if img not in self._gt:
-            self._gt[img] = np.load(self.root / f"gt_{img}.npy").astype(bool)
+            g = np.load(self.root / f"gt_{img}.npy")
+            self._gt[img] = g[::self.stride, ::self.stride].astype(bool)
         return self._gt[img]
 
     def prob(self, label, img):
         if self._probs is not None and (label, img) in self._probs:
             return self._probs[(label, img)]
-        p = np.clip(np.load(self.root / f"{label}_{img}.npy"), 0.0, 1.0)
+        p = np.load(self.root / f"{label}_{img}.npy")
+        p = np.clip(p[::self.stride, ::self.stride], 0.0, 1.0)
         if self._probs is not None:
             self._probs[(label, img)] = p
         return p
@@ -226,7 +232,10 @@ def apply_point(cache: MapCache, point, out_dir: Path, protocol: str,
     import sys
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import os
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE cpu (not setdefault): this offline tool must never attach to the
+    # TPU — the session env exports JAX_PLATFORMS=axon, and attaching while a
+    # training drive holds the chip wedges the axon tunnel for ~an hour.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     from vaeunet_tpu.uncertainty import (
         calculate_expected_calibration_error,
         calculate_sparsification_metrics,
@@ -302,6 +311,9 @@ def main():
                         "threshold, and/or per-image expected-area matching")
     p.add_argument("--cache-maps", action="store_true",
                    help="Hold all probability maps in RAM during selection")
+    p.add_argument("--select-stride", type=int, default=1,
+                   help="Decimate val maps by this stride during selection "
+                        "(the frozen point is applied at full resolution)")
     p.add_argument("--members", nargs="*", default=None,
                    help="Restrict the candidate pool to these labels")
     p.add_argument("--point-json", default=None,
@@ -312,7 +324,8 @@ def main():
     if args.point_json:
         point = json.loads(Path(args.point_json).read_text())
     else:
-        val_cache = MapCache(Path(args.val_dir), keep_probs=args.cache_maps)
+        val_cache = MapCache(Path(args.val_dir), keep_probs=args.cache_maps,
+                             stride=args.select_stride)
         if args.members:
             val_cache.labels = [l for l in val_cache.labels
                                 if l in args.members]
