@@ -111,10 +111,29 @@ def get_baseline() -> float:
 
 def main():
     baseline = get_baseline()
-    try:
-        value = measure_tpu(BATCH)
-    except Exception:
-        value = measure_tpu(BATCH // 2)  # HBM headroom fallback
+    value = None
+    last = None
+    # The tunneled axon backend can take ~25 min to surface UNAVAILABLE
+    # after a wedge, then heal; retry a few times before giving up so a
+    # transient tunnel failure doesn't void the benchmark record.
+    for attempt in range(3):
+        try:
+            value = measure_tpu(BATCH)
+            break
+        except Exception as e:  # noqa: BLE001 - backend errors vary by layer
+            last = e
+            try:
+                value = measure_tpu(BATCH // 2)  # HBM headroom fallback
+                break
+            except Exception as e2:  # noqa: BLE001
+                last = e2
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(300)
+    if value is None:
+        raise last
     print(json.dumps({
         "metric": "images_per_sec_per_chip_512sq_vaeunet_train",
         "value": round(value, 3),
