@@ -41,6 +41,12 @@ def get_args():
     parser.add_argument("--wandb_project", type=str, default="VAE_UNet_Analysis")
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--threshold-mode", choices=["fixed", "area"],
+                        default="fixed",
+                        help="Decision rule: global 0.5 (reference "
+                             "behavior) or per-image expected-area "
+                             "threshold (framework extension)")
+    parser.add_argument("--area-factor", type=float, default=1.0)
     parser.set_defaults(use_attention=True)
     return parser.parse_args()
 
@@ -75,7 +81,8 @@ def main():
         overlap=args.overlap, output_dir=args.output_dir,
         max_images=args.max_images, temp_values=tuple(args.temp_values),
         model_label=args.model_label, batch_size=args.batch_size,
-        extended_metrics=args.extended_metrics, seed=args.seed)
+        extended_metrics=args.extended_metrics, seed=args.seed,
+        threshold_mode=args.threshold_mode, area_factor=args.area_factor)
     df = analyze_model(model, variables, dataset, a, tracker=tracker)
     if tracker:
         tracker.finish()

@@ -168,6 +168,30 @@ def test_apply_point_area_mode(tmp_path):
     assert mean > 0.9
 
 
+def test_library_expected_area_threshold_matches_tuner():
+    """The library decision rule (inference.expected_area_threshold, exact
+    order statistics) and the tuner's histogram lowering pick thresholds
+    within one histogram bin of each other."""
+    from vaeunet_tpu.inference.ensemble import expected_area_threshold
+
+    rng = np.random.default_rng(7)
+    prob = (rng.random((256, 256)).astype(np.float32) ** 4)  # heavy low tail
+    gt = rng.random((256, 256)) > 0.9
+    cp, cn, _ = tf._hist_cumsums(prob, gt)
+    tuner_thrs = tf.area_thresholds(prob, cp, cn)
+    for j, wa in enumerate(tf.AREA_GRID):
+        lib_t = expected_area_threshold(prob, wa)
+        assert abs(lib_t - tuner_thrs[j]) <= 2.5e-3, (wa, lib_t, tuner_thrs[j])
+    # exact predicted-area semantics of the library rule
+    t = expected_area_threshold(prob, 1.0)
+    assert (prob > t).sum() <= prob.sum()
+    # haze map: threshold lands above the haze, keeping exactly the core
+    m, gt2 = _haze_map((64, 64), (slice(2, 6), slice(2, 6)), 0.32,
+                       (slice(16, 48), slice(16, 48)), 0.22)
+    t2 = expected_area_threshold(m, 1.0)
+    assert ((m > t2) == gt2).all()
+
+
 def test_apply_point_writes_reference_schema(tmp_path):
     img_ids = ["IDRiD_01"]
     gt = np.zeros((16, 16), bool)

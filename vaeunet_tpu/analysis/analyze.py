@@ -61,6 +61,11 @@ class AnalyzeArgs:
     extended_metrics: bool = False
     keep_temp_data: bool = False
     seed: int = 0
+    # Decision rule (framework extension; the reference always uses a
+    # global 0.5 — analyze_model.py:884-886).  "area" picks a per-image
+    # threshold from the map's soft mass (inference.expected_area_threshold).
+    threshold_mode: str = "fixed"
+    area_factor: float = 1.0
 
 
 def analyze_model(model: UNetResNet, variables, dataset, args: AnalyzeArgs,
@@ -101,7 +106,13 @@ def analyze_model(model: UNetResNet, variables, dataset, args: AnalyzeArgs,
 
             mean_pred = samples_np.mean(axis=0)
             std_dev = samples_np.std(axis=0)
-            pred_binary = (mean_pred > 0.5).astype(np.float32)
+            if args.threshold_mode == "area":
+                from vaeunet_tpu.inference.ensemble import expected_area_threshold
+                thr = expected_area_threshold(mean_pred, args.area_factor)
+                log.info("%s: expected-area threshold %.3f", img_id, thr)
+            else:
+                thr = 0.5
+            pred_binary = (mean_pred > thr).astype(np.float32)
 
             # --- per-image metrics (analyze_model.py:884-953) ---
             gt_round = np.round(gt).astype(int)

@@ -73,3 +73,31 @@ def fused_probability(members: Sequence[Tuple[object, object, jnp.ndarray]],
     else:
         fused = jnp.mean(stack, axis=0)
     return fused, stack
+
+
+def expected_area_threshold(prob, area_factor: float = 1.0) -> float:
+    """Per-image decision threshold from the map's own soft mass.
+
+    Picks the threshold t such that the predicted area ``|{p > t}|`` is the
+    largest count not exceeding ``area_factor * sum(p)`` — the
+    calibration-consistent estimate of lesion area.  A framework extension
+    (the reference thresholds every map at a global 0.5,
+    analyze_model.py:884-886): on an under-confident image the soft mass is
+    dominated by the low-probability halo, so the threshold lands just
+    above the halo and keeps the confident cores, where a *global* low
+    threshold floods false positives on confident images.  Measured on the
+    EX test split it recovers the tiny-scattered-lesion image the fixed
+    rule misses (RESULTS.md round 2).  Host-side numpy — decision
+    thresholds are offline analysis work.
+    """
+    import numpy as np
+
+    flat = np.asarray(prob, dtype=np.float32).reshape(-1)
+    target = float(area_factor) * float(flat.sum())
+    n = min(int(target), flat.size)
+    if n <= 0:
+        return 1.0
+    # threshold at the n-th largest probability: |{p > t}| <= n by
+    # construction (ties at t are excluded)
+    t = float(np.partition(flat, flat.size - n)[flat.size - n])
+    return t
