@@ -25,10 +25,21 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
-# A/B switch for the exact-2x banded lowering (set "0" to force the
-# interp-matrix contraction everywhere — used by perf drives).
-_BAND2X = os.environ.get("VAEUNET_RESIZE_BAND2X", "1") != "0"
+# A/B switch for the exact-2x banded lowering ("1" forces it on).  Default
+# OFF: measured end-to-end on the 512^2 b16 train step (scripts/ab_step.py,
+# donated-state, order-independent), the interp-matrix contraction wins —
+# mm 234 img/s vs band-stack 199 vs band-pad 144.  The band's parity
+# interleave (stack+reshape OR dilated-pad+add) always materializes
+# relayout copies the dot_general path avoids entirely; the HLO copy count
+# it was built to remove is cheaper than the fusions it breaks.
+_BAND2X = os.environ.get("VAEUNET_RESIZE_BAND2X", "0") == "1"
+# Interleave lowering for the banded 2x path: "pad" emits the parity merge
+# as interior-dilated pads + add, "stack" (default) as stack+reshape.
+# Measured: pad is WORSE end-to-end (144 vs 199 img/s) — the pad pair
+# defeats the TPU loop-fusion emitter on both sides.  Kept for A/B.
+_BAND2X_PAD = os.environ.get("VAEUNET_BAND2X_INTERLEAVE", "stack") == "pad"
 
 
 def _source_coords(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
@@ -156,13 +167,15 @@ def _band_blend_up2(x: jnp.ndarray, axis: int, in_size: int,
                     align_corners: bool) -> jnp.ndarray:
     """Exact-2x linear upsample as shifted elementwise blends + interleave.
 
-    Equivalent to ``_mm_blend(x, axis, in_size, 2*in_size, ...)`` but lowered
-    as VPU work inside loop fusions: unlike a dot_general, whose output
-    layout is fixed by the MXU emitter and forces full-activation relayout
-    copies in front of the TPU conv emitters' preferred layouts (~2.7 GB per
-    train step measured across the decoder resizes), an elementwise producer
-    can be emitted directly in whatever layout its consumer wants.  The VJP
-    is the transposed band — again shifted elementwise blends.
+    Equivalent to ``_mm_blend(x, axis, in_size, 2*in_size, ...)`` lowered as
+    VPU work.  NOT the default: end-to-end A/B (scripts/ab_step.py) showed
+    the parity interleave itself becomes the relayout copy (the stacked
+    [..., H, 2, ...] tensor is materialized then re-laid-out; ~1.4 GB/step)
+    and the step runs 15% slower than the dot_general form, whose custom
+    VJP (``_mm_blend``) already avoids the backward-pass copies this kernel
+    was built to kill.  Kept behind VAEUNET_RESIZE_BAND2X=1 for re-testing
+    on future toolchains.  The VJP is the transposed band — again shifted
+    elementwise blends.
     """
     w0, w1 = _band_weights_up2(in_size, align_corners)
     parts = []
@@ -172,6 +185,17 @@ def _band_blend_up2(x: jnp.ndarray, axis: int, in_size: int,
             term = _axis_vec(w[d + 1], x.ndim, axis, x.dtype) * _shift(x, axis, d)
             acc = term if acc is None else acc + term
         parts.append(acc)
+    if _BAND2X_PAD:
+        # Parity merge as interior-dilated pads + add: even outputs from
+        # parts[0], odd from parts[1].  Unlike stack+reshape, pad is an
+        # elementwise-addressable producer the TPU fusion emitters inline
+        # into the consumer (no materialized [..., H, 2, ...] intermediate).
+        zero = jnp.zeros((), x.dtype)
+        cfg_e = [(0, 0, 0)] * x.ndim
+        cfg_e[axis] = (0, 1, 1)              # a -> indices 0,2,...,2H-2
+        cfg_o = [(0, 0, 0)] * x.ndim
+        cfg_o[axis] = (1, 0, 1)              # b -> indices 1,3,...,2H-1
+        return lax.pad(parts[0], zero, cfg_e) + lax.pad(parts[1], zero, cfg_o)
     y = jnp.stack(parts, axis=axis + 1)      # [..., H, 2, ...]
     shape = list(x.shape)
     shape[axis] = 2 * in_size
@@ -185,14 +209,26 @@ def _band_blend_up2_fwd(x, axis, in_size, align_corners):
 def _band_blend_up2_bwd(axis, in_size, align_corners, _res, g):
     # dx[k] = sum_{p, e in {-1,0,1}} w[p][1-e, k+e] * g[2(k+e)+p]
     ws = _band_weights_up2(in_size, align_corners)
-    shape = list(g.shape)
-    shape[axis : axis + 1] = [in_size, 2]
-    gp = g.reshape(shape)                    # [..., H, 2, ...]
-    sl = [slice(None)] * gp.ndim
+    if _BAND2X_PAD:
+        # parity extraction as strided slices (the transpose of the
+        # interior-dilated pads in forward) — fuses, no reshape relayout
+        sl = [slice(None)] * g.ndim
+        parities = []
+        for p in (0, 1):
+            sl[axis] = slice(p, 2 * in_size, 2)
+            parities.append(g[tuple(sl)])    # [..., H, ...]
+    else:
+        shape = list(g.shape)
+        shape[axis : axis + 1] = [in_size, 2]
+        gp = g.reshape(shape)                # [..., H, 2, ...]
+        sl = [slice(None)] * gp.ndim
+        parities = []
+        for p in (0, 1):
+            sl[axis + 1] = p
+            parities.append(gp[tuple(sl)])   # [..., H, ...]
     dx = None
     for p in (0, 1):
-        sl[axis + 1] = p
-        gpp = gp[tuple(sl)]                  # [..., H, ...]
+        gpp = parities[p]
         for e in (-1, 0, 1):
             w = _axis_vec(ws[p][1 - e], gpp.ndim, axis, g.dtype)
             term = _shift(w * gpp, axis, e)
