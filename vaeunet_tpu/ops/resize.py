@@ -283,6 +283,17 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
     """
     oh, ow = int(out_hw[0]), int(out_hw[1])
     h, w = x.shape[-3], x.shape[-2]
+    if jax.default_backend() == "tpu" and oh >= h and ow >= w:
+        # Upsampling on the MXU path: run the H contraction FIRST, while W
+        # is still small.  The H-axis dot needs a relayout of its operand
+        # (H is not a contractible minor dim in NHWC); doing it before the
+        # W pass widens the tensor halves the transposed bytes.  Separable
+        # passes commute exactly in exact arithmetic; the fp32 accumulation
+        # -order note above applies to the CPU parity path, which keeps
+        # W-first.
+        x = _gather_blend(x, x.ndim - 3, h, oh, align_corners)
+        x = _gather_blend(x, x.ndim - 2, w, ow, align_corners)
+        return x
     x = _gather_blend(x, x.ndim - 2, w, ow, align_corners)
     x = _gather_blend(x, x.ndim - 3, h, oh, align_corners)
     return x
