@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Round-3 EX quality drive: retrain the ensemble members and regenerate the
+parameter-free protocol inputs (the round-2 checkpoints did not survive the
+environment reset; results/ keeps the CSVs but the weights and cached maps
+are gone).
+
+ONE process end-to-end (wedge discipline, .claude/skills/verify/SKILL.md):
+  1. train three seed/scale-diverse EX members
+       a05: scale 0.5, seed 42            (the strong all-round member)
+       c10: scale 1.0, seed 42, large-lesion oversampling (the plaque member)
+       i10: scale 1.0, seed 7             (diversity)
+  2. compute cached test-split probability maps for each member + its
+     horizontal-flip TTA variant (scripts/compute_member_maps.py logic)
+
+The protocol apply (mean fusion over all members, per-image expected-area
+threshold at w_a=1.0 — zero tuned parameters) is CPU-numpy-heavy and runs
+as a SEPARATE process after this one exits:
+
+  python scripts/tune_fusion.py --val-dir <maps> --test-dir <maps> \
+      --output-dir results/r3_protocol_free_ex --point-json <point.json>
+
+Stages are marker-file guarded so an interrupted drive resumes.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+MAPS_DIR = Path("/root/maps_r3/ex_test")
+DATA_DIR = "/root/reference/data"
+
+MEMBERS = [
+    # label, train-config overrides
+    ("a05", dict(seed=42, img_scale=0.5, epochs=60)),
+    ("c10", dict(seed=42, img_scale=1.0, epochs=18, oversample_lesion=20.0)),
+    ("i10", dict(seed=7, img_scale=1.0, epochs=18)),
+]
+
+
+def probe_tpu(max_tries: int = 30) -> None:
+    """Patient health probe: tiny op, clear_backends + 10-min sleeps on
+    failure (post-drop outages last hours; cascading stage failures are
+    worse than waiting)."""
+    import jax
+    import jax.numpy as jnp
+    for i in range(max_tries):
+        try:
+            assert float((jnp.ones((4, 4)) + 1).sum()) == 32.0
+            print(f"tpu probe ok (backend={jax.default_backend()})",
+                  flush=True)
+            return
+        except Exception as e:  # noqa: BLE001
+            print(f"tpu probe {i}: {type(e).__name__}: {e}", flush=True)
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(600)
+    raise RuntimeError("TPU never became healthy")
+
+
+def train_members() -> dict:
+    from vaeunet_tpu.training.checkpoint import latest_run_dir
+    from vaeunet_tpu.training.config import TrainConfig
+    from vaeunet_tpu.training.loop import train_model
+
+    runs = {}
+    for label, kw in MEMBERS:
+        ckdir = REPO / "checkpoints" / f"r3_{label}"
+        marker = ckdir / "DRIVE_DONE"
+        config = TrainConfig(
+            model_type="resnet", lesion_type="EX", data_dir=DATA_DIR,
+            patch_size=512, batch_size=6, gradient_accumulation_steps=2,
+            amp=True, checkpoint_dir=str(ckdir), **kw)
+        if marker.exists():
+            runs[label] = marker.read_text().strip()
+            print(f"[{label}] already trained: {runs[label]}", flush=True)
+            continue
+        print(f"[{label}] training: {kw}", flush=True)
+        t0 = time.time()
+        train_model(config)
+        run = latest_run_dir(config)
+        marker.write_text(run)
+        runs[label] = run
+        print(f"[{label}] done in {(time.time() - t0) / 60:.1f} min -> {run}",
+              flush=True)
+    return runs
+
+
+def compute_maps(runs: dict) -> None:
+    import scripts.compute_member_maps as cmm
+
+    argv = ["compute_member_maps", "--lesion-type", "EX", "--split", "test",
+            "--outdir", str(MAPS_DIR), "--data-dir", DATA_DIR,
+            "--samples", "10", "--patch-size", "512"]
+    for label, kw in MEMBERS:
+        scale = kw["img_scale"]
+        argv += ["--member", f"{label}={runs[label]}@{scale}",
+                 "--member", f"{label}F={runs[label]}@{scale}:h"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cmm.main()
+    finally:
+        sys.argv = old
+
+
+def main():
+    probe_tpu()
+    runs = train_members()
+    compute_maps(runs)
+    point = {
+        "members": sorted([l for l, _ in MEMBERS]
+                          + [f"{l}F" for l, _ in MEMBERS]),
+        "fusion": "mean", "weight": 1.0,
+        "threshold_mode": "area", "threshold": 1.0,
+        "objective": ("none (parameter-free protocol: all members, mean "
+                      "fusion, expected-area threshold at w_a=1.0)"),
+    }
+    MAPS_DIR.mkdir(parents=True, exist_ok=True)
+    (MAPS_DIR / "point.json").write_text(json.dumps(point, indent=2))
+    print("drive complete; apply the protocol in a separate CPU process:",
+          flush=True)
+    print(f"  python scripts/tune_fusion.py --val-dir {MAPS_DIR} "
+          f"--test-dir {MAPS_DIR} --output-dir results/r3_protocol_free_ex "
+          f"--point-json {MAPS_DIR / 'point.json'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
