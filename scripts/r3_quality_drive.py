@@ -30,7 +30,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-MAPS_DIR = Path("/root/maps_r3/ex_test")
+MAPS_DIR = REPO / ".maps" / "r3_ex_test"
 DATA_DIR = "/root/reference/data"
 
 MEMBERS = [
@@ -38,6 +38,11 @@ MEMBERS = [
     ("a05", dict(seed=42, img_scale=0.5, epochs=60)),
     ("c10", dict(seed=42, img_scale=1.0, epochs=18, oversample_lesion=20.0)),
     ("i10", dict(seed=7, img_scale=1.0, epochs=18)),
+    # round-2's pool also carried a second seed at the strong scale; the
+    # 0.25x member trades small-lesion acuity for 4x receptive context on
+    # the confluent-plaque failure mode (IDRiD_81)
+    ("h05", dict(seed=1337, img_scale=0.5, epochs=60)),
+    ("p25", dict(seed=42, img_scale=0.25, epochs=60, oversample_lesion=20.0)),
 ]
 
 
