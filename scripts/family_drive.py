@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Train a member pool for one lesion family and stage the parameter-free
+ensemble protocol: mean fusion over every member (+ h-flip TTA) with the
+per-image expected-area threshold at w_a=1.0.  Generalizes
+scripts/r3_quality_drive.py (EX preset) to any family/split.
+
+ONE process end-to-end for the TPU stages (wedge discipline,
+.claude/skills/verify/SKILL.md); the numpy-heavy protocol apply runs as a
+separate CPU process after this one exits:
+
+  python scripts/family_drive.py --lesion-type SE --split val \\
+      --member a05:scale=0.5,epochs=60 \\
+      --member p25:scale=0.25,epochs=60,oversample=20
+
+Member spec grammar: LABEL:key=value[,key=value...] with keys
+  scale (required), seed (42), epochs (60), oversample (0), loss (default).
+
+Stages are marker-file guarded so an interrupted drive resumes.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def parse_member(spec: str):
+    label, rest = spec.split(":", 1)
+    kw = dict(seed=42, epochs=60)
+    for item in rest.split(","):
+        k, v = item.split("=", 1)
+        if k == "scale":
+            kw["img_scale"] = float(v)
+        elif k == "seed":
+            kw["seed"] = int(v)
+        elif k == "epochs":
+            kw["epochs"] = int(v)
+        elif k == "oversample":
+            kw["oversample_lesion"] = float(v)
+        elif k == "loss":
+            kw["loss"] = v
+        else:
+            raise ValueError(f"unknown member key {k!r} in {spec!r}")
+    if "img_scale" not in kw:
+        raise ValueError(f"member {spec!r} needs scale=")
+    return label, kw
+
+
+def probe_tpu(max_tries: int = 30) -> None:
+    import jax
+    import jax.numpy as jnp
+    for i in range(max_tries):
+        try:
+            assert float((jnp.ones((4, 4)) + 1).sum()) == 32.0
+            print(f"tpu probe ok (backend={jax.default_backend()})",
+                  flush=True)
+            return
+        except Exception as e:  # noqa: BLE001
+            print(f"tpu probe {i}: {type(e).__name__}: {e}", flush=True)
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(600)
+    raise RuntimeError("TPU never became healthy")
+
+
+def train_members(args, members) -> dict:
+    from vaeunet_tpu.training.checkpoint import latest_run_dir
+    from vaeunet_tpu.training.config import TrainConfig
+    from vaeunet_tpu.training.loop import train_model
+
+    runs = {}
+    for label, kw in members:
+        ckdir = REPO / "checkpoints" / f"{args.tag}_{label}"
+        marker = ckdir / "DRIVE_DONE"
+        config = TrainConfig(
+            model_type="resnet", lesion_type=args.lesion_type,
+            data_dir=args.data_dir, patch_size=args.patch_size,
+            batch_size=args.batch_size,
+            gradient_accumulation_steps=args.grad_accum,
+            amp=True, checkpoint_dir=str(ckdir), **kw)
+        if marker.exists():
+            runs[label] = marker.read_text().strip()
+            print(f"[{label}] already trained: {runs[label]}", flush=True)
+            continue
+        print(f"[{label}] training: {kw}", flush=True)
+        t0 = time.time()
+        train_model(config)
+        run = latest_run_dir(config)
+        marker.write_text(run)
+        runs[label] = run
+        print(f"[{label}] done in {(time.time() - t0) / 60:.1f} min -> {run}",
+              flush=True)
+    return runs
+
+
+def compute_maps(args, members, runs, maps_dir: Path) -> None:
+    import scripts.compute_member_maps as cmm
+
+    argv = ["compute_member_maps", "--lesion-type", args.lesion_type,
+            "--split", args.split, "--outdir", str(maps_dir),
+            "--data-dir", args.data_dir, "--samples", str(args.samples),
+            "--patch-size", str(args.patch_size)]
+    for label, kw in members:
+        scale = kw["img_scale"]
+        argv += ["--member", f"{label}={runs[label]}@{scale}",
+                 "--member", f"{label}F={runs[label]}@{scale}:h"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        cmm.main()
+    finally:
+        sys.argv = old
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--lesion-type", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--member", action="append", required=True,
+                   help="LABEL:scale=S[,seed=N,epochs=E,oversample=K,loss=L]")
+    p.add_argument("--tag", default=None,
+                   help="checkpoint dir prefix (default r3<family>)")
+    p.add_argument("--data-dir", default="/root/reference/data")
+    p.add_argument("--patch-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=6)
+    p.add_argument("--grad-accum", type=int, default=2)
+    p.add_argument("--samples", type=int, default=10)
+    args = p.parse_args()
+    if args.tag is None:
+        args.tag = f"r3{args.lesion_type.lower()}"
+
+    members = [parse_member(s) for s in args.member]
+    maps_dir = REPO / ".maps" / f"{args.tag}_{args.split}"
+
+    probe_tpu()
+    runs = train_members(args, members)
+    compute_maps(args, members, runs, maps_dir)
+
+    point = {
+        "members": sorted([l for l, _ in members]
+                          + [f"{l}F" for l, _ in members]),
+        "fusion": "mean", "weight": 1.0,
+        "threshold_mode": "area", "threshold": 1.0,
+        "objective": ("none (parameter-free protocol: all members, mean "
+                      "fusion, expected-area threshold at w_a=1.0)"),
+    }
+    maps_dir.mkdir(parents=True, exist_ok=True)
+    (maps_dir / "point.json").write_text(json.dumps(point, indent=2))
+    print("drive complete; apply the protocol in a separate CPU process:",
+          flush=True)
+    print(f"  python scripts/tune_fusion.py --val-dir {maps_dir} "
+          f"--test-dir {maps_dir} "
+          f"--output-dir results/{args.tag}_protocol_free "
+          f"--point-json {maps_dir / 'point.json'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
