@@ -168,3 +168,28 @@ def test_backbone_family():
         assert mu.shape == (1, 8)
         k = variables["params"]["z_initial_conv"]["kernel"]
         assert k.shape[-1] == bott_ch, (backbone, k.shape)
+
+
+def test_family_drive_member_grammar():
+    import importlib.util
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        "family_drive",
+        Path(__file__).resolve().parent.parent / "scripts" / "family_drive.py")
+    fd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fd)
+
+    label, kw = fd.parse_member("a05:scale=0.5,epochs=60")
+    assert label == "a05"
+    assert kw == {"seed": 42, "epochs": 60, "img_scale": 0.5}
+
+    label, kw = fd.parse_member("p25:scale=0.25,seed=7,oversample=20,loss=focal")
+    assert kw["oversample_lesion"] == 20.0 and kw["loss"] == "focal"
+    # every key must be a real TrainConfig field
+    for k in kw:
+        assert hasattr(TrainConfig(), k), k
+
+    with pytest.raises(ValueError):
+        fd.parse_member("x:epochs=3")      # missing scale
+    with pytest.raises(ValueError):
+        fd.parse_member("x:scale=1,bogus=2")
