@@ -43,6 +43,12 @@ def parse_member(spec: str):
             kw["oversample_lesion"] = float(v)
         elif k == "loss":
             kw["loss"] = v
+        elif k == "ds":
+            kw["deep_supervision"] = v not in ("0", "false", "False")
+        elif k == "lr":
+            kw["learning_rate"] = float(v)
+        elif k == "klleak":
+            kw["kl_clamp_leak"] = float(v)
         else:
             raise ValueError(f"unknown member key {k!r} in {spec!r}")
     if "img_scale" not in kw:

@@ -177,3 +177,53 @@ def test_augment_statistical_sanity():
         ai, _ = augment_sample(jax.random.PRNGKey(seed), img, mask)
         outs.append(float(jnp.mean(ai)))
     assert np.std(outs) > 1e-4  # photometric ops fired at least sometimes
+
+
+def test_image_device_cache_matches_patch_cache(synth_data):
+    """Whole-image HBM layout + on-device dynamic_slice must reproduce the
+    patch-level cache's batches bit-for-bit (it reads the same uint8
+    planes), while storing each source image only once."""
+    from vaeunet_tpu.data.device_cache import (
+        DeviceCache, ImageDeviceCache, estimate_image_bytes,
+        gather_batch_device)
+
+    ds = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                      patch_size=32, lesion_type="EX", balance_seed=0)
+    pc = DeviceCache(ds)
+    ic = ImageDeviceCache(ds)
+    assert estimate_image_bytes(ds) == ic.images.nbytes + ic.masks.nbytes
+    assert len(pc) == len(ic) == len(ds)
+    assert pc.img_ids == ic.img_ids
+
+    idx = np.arange(len(ds), dtype=np.int32)[:8]
+    pi, pm = jax.jit(gather_batch_device)(
+        pc.images, pc.masks, jnp.asarray(pc.batch_indices(idx)))
+    gather = ic.make_gather()
+    ii, im = jax.jit(gather)(
+        ic.images, ic.masks, jnp.asarray(ic.batch_indices(idx)))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ii))
+    np.testing.assert_array_equal(np.asarray(pm), np.asarray(im))
+
+    fi, fm = ic.fetch(idx[:2])
+    np.testing.assert_allclose(fi, np.asarray(ii[:2]), atol=1e-7)
+    np.testing.assert_array_equal(fm, np.asarray(im[:2]))
+
+
+def test_image_cache_estimate_contract(synth_data):
+    """estimate_image_bytes = unique source images at padded dims x 4 u8
+    planes, and is invariant to oversampling replicas (the patch-level
+    estimate grows linearly with them — the scale-1.0 OOM trigger)."""
+    from vaeunet_tpu.data.device_cache import (estimate_bytes,
+                                               estimate_image_bytes)
+    ds = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                      patch_size=32, lesion_type="EX", balance_seed=0)
+    est_img = estimate_image_bytes(ds)
+    n_imgs = len({r[0] for r in ds.patch_index})
+    assert est_img == n_imgs * 96 * 128 * 4
+
+    over = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                        patch_size=32, lesion_type="EX", balance_seed=0,
+                        oversample_lesion=50.0)
+    assert len(over) > len(ds)
+    assert estimate_bytes(over) > estimate_bytes(ds)
+    assert estimate_image_bytes(over) == est_img

@@ -135,3 +135,23 @@ def test_multiclass_dice_parity(reference_path):
                                          jnp.asarray(target.numpy()),
                                          multiclass=True))
     assert abs(ours_loss - ref_loss) < 1e-6
+
+
+def test_kl_clamp_leak_value_identical_gradient_restored():
+    """clamp_leak must not change the loss VALUE (reference parity) but must
+    restore a gradient on dimensions past the +-100 clamp rails."""
+    import jax
+    mu = jnp.zeros((2, 4), jnp.float32)
+    logvar = jnp.asarray([[0.0, 1.0, 8.0, 12.0]] * 2, jnp.float32)  # last two past rail
+    v0 = float(L.kl_with_free_bits(mu, logvar, free_bits=1e-3))
+    v1 = float(L.kl_with_free_bits(mu, logvar, free_bits=1e-3, clamp_leak=0.01))
+    assert v0 == v1
+
+    g0 = jax.grad(lambda lv: L.kl_with_free_bits(mu, lv, 1e-3))(logvar)
+    g1 = jax.grad(lambda lv: L.kl_with_free_bits(mu, lv, 1e-3,
+                                                 clamp_leak=0.01))(logvar)
+    # inside the rails: identical gradients
+    np.testing.assert_allclose(np.asarray(g0[:, :2]), np.asarray(g1[:, :2]))
+    # past the rails: parity mode has zero gradient, leak mode a positive one
+    assert float(np.abs(np.asarray(g0[:, 2:])).max()) == 0.0
+    assert float(np.asarray(g1[:, 2:]).min()) > 0.0

@@ -120,3 +120,36 @@ def test_kl_annealer_drives_beta():
     assert ann.get_weight(10) == pytest.approx(0.0005)
     assert ann.get_weight(20) == pytest.approx(0.001)
     assert ann.get_weight(400) == pytest.approx(0.001)
+
+
+def test_deep_supervision_trains_and_keeps_default_params():
+    """DS adds ds_head_* params, its aux losses flow gradients, and the
+    default (off) param tree is unchanged — reference parity preserved."""
+    cfg_off = _tiny_config()
+    cfg_on = _tiny_config(deep_supervision=True)
+    state_off = create_train_state(cfg_off, jax.random.PRNGKey(0),
+                                   sample_input_hw=(32, 32))
+    state_on = create_train_state(cfg_on, jax.random.PRNGKey(0),
+                                  sample_input_hw=(32, 32))
+
+    def names(tree, prefix=""):
+        out = set()
+        for k, v in tree.items():
+            p = f"{prefix}/{k}"
+            out |= names(v, p) if isinstance(v, dict) else {p}
+        return out
+
+    on, off = names(state_on.params), names(state_off.params)
+    extra = {n for n in on - off}
+    assert extra and all("ds_head_" in n for n in extra), extra
+    assert not (off - on)
+
+    images, masks = _synthetic_batch(jax.random.PRNGKey(1))
+    step = make_train_step(cfg_on, jit=False)
+    new_state, aux = step(state_on, images, masks, jnp.float32(0.001))
+    assert np.isfinite(float(aux["loss"]))
+    # aux-head kernels must receive gradient (they only get it via DS loss)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state_on.params["ds_head_0"], new_state.params["ds_head_0"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0

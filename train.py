@@ -100,6 +100,14 @@ def get_args():
                         help="Replicate large-lesion train patches "
                         "(1 + min(4, floor(lesion_frac * K)) copies); 0 keeps "
                         "the reference's balanced sampling")
+    parser.add_argument("--deep-supervision", action="store_true",
+                        default=False,
+                        help="Aux dice+BCE losses on decoder levels 0-2 "
+                        "(framework extension; from-scratch training aid)")
+    parser.add_argument("--kl-clamp-leak", type=float, default=0.0,
+                        help="Gradient leak through the +-100 KL clamp "
+                        "(0 = reference parity; ~0.01 restores a restoring "
+                        "force on runaway latent dims)")
     parser.add_argument("--debug-nans", action="store_true", default=False,
                         help="Enable jax_debug_nans and disable buffer "
                         "donation (NaN post-mortem; the reference's NaN "
@@ -156,6 +164,8 @@ def main():
         lr_patience=args.lr_patience,
         lr_factor=args.lr_factor,
         oversample_lesion=args.oversample_lesion,
+        deep_supervision=args.deep_supervision,
+        kl_clamp_leak=args.kl_clamp_leak,
     )
 
     variables = None

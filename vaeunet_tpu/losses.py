@@ -99,16 +99,30 @@ def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 
 
 def kl_with_free_bits(mu: jnp.ndarray, logvar: jnp.ndarray,
-                      free_bits: float = 1e-4) -> jnp.ndarray:
+                      free_bits: float = 1e-4,
+                      clamp_leak: float = 0.0) -> jnp.ndarray:
     """KL(q(z|x) || N(0,1)) with per-dimension free bits.  (loss.py:148-170)
 
     per-dim KL = 0.5*(mu^2 + e^logvar - logvar - 1), clamped to [-100, 100],
     floored at `free_bits`, summed over dims, averaged over batch.
+
+    `clamp_leak` (default 0 = reference parity): the reference's hard clamp
+    zeroes the gradient of any dimension whose KL exceeds 100, so a runaway
+    logvar has NO restoring force and can random-walk to e^30 variance
+    (observed: scale-1.0 training diverged to latent var ~3e10 in one
+    epoch).  With clamp_leak > 0 the clamped VALUE is unchanged but a
+    `clamp_leak`-scaled gradient of the excess passes through, giving
+    out-of-range dimensions a pull back toward the rails.
     """
     mu = jnp.nan_to_num(mu.astype(jnp.float32), nan=0.0)
     logvar = jnp.nan_to_num(logvar.astype(jnp.float32), nan=0.0)
     kl_per_dim = 0.5 * (jnp.square(mu) + jnp.exp(logvar) - logvar - 1.0)
-    kl_per_dim = jnp.clip(kl_per_dim, -100.0, 100.0)
+    clipped = jnp.clip(kl_per_dim, -100.0, 100.0)
+    if clamp_leak > 0:
+        excess = kl_per_dim - clipped  # 0 inside the rails
+        clipped = clipped + clamp_leak * (
+            excess - jax.lax.stop_gradient(excess))
+    kl_per_dim = clipped
     if free_bits > 0:
         kl_per_dim = jnp.maximum(kl_per_dim, free_bits)
     kl = jnp.mean(jnp.sum(kl_per_dim, axis=1))

@@ -246,6 +246,13 @@ class UNetResNet(nn.Module):
     # and recompute only BN/ReLU — cuts saved-activation HBM traffic
     # without re-running the MXU-heavy ops.
     remat_policy: str = "full"
+    # Deep supervision (framework extension, off by default = reference
+    # parity): 1x1 aux heads on decoder levels 0-2 whose logits are sown to
+    # 'intermediates' for auxiliary losses at 1/16, 1/8, 1/4 resolution.
+    # Standard from-scratch segmentation aid (nnU-Net practice) — shortens
+    # the gradient path to the encoder that ImageNet pretraining would
+    # otherwise warm-start.
+    deep_supervision: bool = False
     # |logvar| cap applied at the head.  The reference clamps per-dim KL to
     # 100 (loss.py:158), which *zeroes the gradient* of runaway dimensions —
     # so logvar can drift to values where exp() overflows and sampling
@@ -307,6 +314,11 @@ class UNetResNet(nn.Module):
         self.final_conv = Conv(self.n_classes, kernel_size=1,
                                name="final_conv",
                                use_dot_1x1=self.fused_decoder)
+        if self.deep_supervision:
+            self.ds_heads = [Conv(self.n_classes, kernel_size=1,
+                                  name=f"ds_head_{i}",
+                                  use_dot_1x1=self.fused_decoder)
+                             for i in range(3)]
 
     # ----- pieces -------------------------------------------------------
 
@@ -355,6 +367,11 @@ class UNetResNet(nn.Module):
         for i, block in enumerate(self.decoder_blocks):
             skip = features[-(i + 2)] if (i < len(features) - 1 and self.use_skip) else None
             x = block(x, skip, z, train)
+            if self.deep_supervision and i < 3:
+                # sow-only: dead code (XLA DCE) unless the caller requests
+                # 'intermediates' — inference paths pay nothing
+                self.sow("intermediates", f"ds_logits_{i}",
+                         self.ds_heads[i](x))
         logits = self.final_conv(x)
         if output_hw is not None and tuple(output_hw) != tuple(logits.shape[1:3]):
             logits = resize_bilinear(logits, output_hw, align_corners=True)

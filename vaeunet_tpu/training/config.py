@@ -70,6 +70,16 @@ class TrainConfig:
     # copies); compensates for the missing ImageNet-pretrained encoder on
     # confluent plaques. 0 = reference-parity balanced sampling.
     oversample_lesion: float = 0.0
+    # Deep supervision: aux dice+BCE losses on decoder levels 0-2 (weights
+    # 1/2^k of the main loss, normalized). Framework extension for
+    # from-scratch training; 0ff = reference parity.
+    deep_supervision: bool = False
+    # Gradient leak through the reference's hard KL clamp (losses.py
+    # kl_with_free_bits). 0 = reference parity (clamp zeroes the gradient
+    # of runaway latent dims — observed logvar random-walk to var ~3e10 at
+    # scale 1.0); >0 restores a small pull toward the +-100 rails without
+    # changing the loss VALUE.
+    kl_clamp_leak: float = 0.0
 
     # infra
     seed: int = 42

@@ -68,7 +68,7 @@ def evaluate_model(eval_step, variables, loader: Loader, rng,
         count = int(batch["count"])
         valid = jnp.asarray((np.arange(b) < count).astype(np.float32))
         if device_data is not None:
-            idx = jnp.asarray(batch["idx"])
+            idx = jnp.asarray(device_data.batch_indices(batch["idx"]))
             metrics, logits = eval_step(variables, device_data.images,
                                         device_data.masks, idx, sub, valid)
         else:
@@ -140,14 +140,41 @@ def train_model(config: TrainConfig,
     device_train = device_val = None
     if (config.device_cache and train_step is None and eval_step is None
             and place_batch is None and config.num_devices <= 1):
-        from vaeunet_tpu.data.device_cache import DeviceCache, estimate_bytes
-        est = estimate_bytes(train_dataset) + estimate_bytes(val_dataset)
-        if est <= config.device_cache_max_bytes:
+        from vaeunet_tpu.data.device_cache import (
+            DeviceCache, ImageDeviceCache, estimate_bytes,
+            estimate_image_bytes)
+        est_img_t = estimate_image_bytes(train_dataset)
+        est_img_v = estimate_image_bytes(val_dataset)
+        est_patch = estimate_bytes(train_dataset) + estimate_bytes(val_dataset)
+        if (est_img_t is not None and est_img_v is not None
+                and est_img_t + est_img_v <= config.device_cache_max_bytes
+                and est_img_t + est_img_v < est_patch):
+            # whole-image layout: each source image stored once, patches
+            # sliced on-device — always smaller than patch layout for
+            # 50%-overlap grids, and oversampling replicas are free
+            device_train = ImageDeviceCache(train_dataset)
+            device_val = ImageDeviceCache(val_dataset)
+            log.info("Device-resident data (image-level): %.0f MB in HBM",
+                     (est_img_t + est_img_v) / 1e6)
+        elif est_patch <= config.device_cache_max_bytes:
             device_train = DeviceCache(train_dataset)
             device_val = DeviceCache(val_dataset)
-            log.info("Device-resident data: %.0f MB resident in HBM", est / 1e6)
+            log.info("Device-resident data: %.0f MB resident in HBM",
+                     est_patch / 1e6)
         else:
-            log.info("Device cache skipped: %.1f GB exceeds limit", est / 1e9)
+            log.info("Device cache skipped: %.1f GB exceeds limit",
+                     est_patch / 1e9)
+    if device_train is None and jax.default_backend() not in ("cpu",):
+        # The host-fed path re-stages every batch over the device link;
+        # on the tunneled TPU backend those transfer buffers leak
+        # client-side (~86 MB/step measured at scale 1.0 — host OOM after
+        # ~1.5k steps).  Loud, because "slower" is not the failure mode.
+        log.warning(
+            "Host-fed batches on backend %r: per-step H2D staging is known "
+            "to leak host RAM on tunneled backends; raise "
+            "--device-cache-max-bytes so the dataset fits in HBM "
+            "(image-level cache needs only the unique source images).",
+            jax.default_backend())
 
     eff_batch = config.batch_size * max(1, config.gradient_accumulation_steps)
     train_loader = Loader(train_dataset, eff_batch, shuffle=True,
@@ -174,9 +201,11 @@ def train_model(config: TrainConfig,
     # default steps fold the augmentation policy into the compiled program;
     # custom steps (e.g. the DP factory) are expected to do the same
     train_step = train_step or make_train_step(
-        config, augment=True, indexed=device_train is not None)
+        config, augment=True, indexed=device_train is not None,
+        gather=device_train.make_gather() if device_train else None)
     eval_step = eval_step or make_eval_step(
-        config, indexed=device_val is not None)
+        config, indexed=device_val is not None,
+        gather=device_val.make_gather() if device_val else None)
 
     annealer = KLAnnealer(kl_start=0.0, kl_end=config.beta,
                           warmup_epochs=config.kl_anneal_epochs)
@@ -302,7 +331,8 @@ def train_model(config: TrainConfig,
             if device_train is not None:
                 new_state, aux = train_step(
                     state, device_train.images, device_train.masks,
-                    jnp.asarray(batch["idx"]), jnp.float32(beta))
+                    jnp.asarray(device_train.batch_indices(batch["idx"])),
+                    jnp.float32(beta))
             else:
                 images = jnp.asarray(batch["image"])
                 masks = jnp.asarray(batch["mask"])

@@ -79,6 +79,7 @@ def build_model(config: TrainConfig):
             latent_injection=config.latent_injection,
             use_remat=config.use_remat,
             remat_policy=config.remat_policy,
+            deep_supervision=config.deep_supervision,
         )
     return UNet(n_channels=config.n_channels, n_classes=config.n_classes,
                 bilinear=config.bilinear, use_remat=config.use_remat)

@@ -38,18 +38,36 @@ def _forward_loss(model, criterion, config: TrainConfig, params, batch_stats,
     is_vae = isinstance(model, UNetResNet)
     if config.amp:
         images = images.astype(jnp.bfloat16)
+    ds = is_vae and config.deep_supervision
+    mutable = ["batch_stats", "intermediates"] if ds else ["batch_stats"]
     if is_vae:
         (logits, mu, logvar), mutated = model.apply(
             variables, images, train=True, rngs={"latent": rng},
-            mutable=["batch_stats"])
+            mutable=mutable)
     else:
         logits, mutated = model.apply(variables, images, train=True,
-                                      mutable=["batch_stats"])
+                                      mutable=mutable)
         mu = jnp.zeros((images.shape[0], 1), jnp.float32)
         logvar = jnp.zeros((images.shape[0], 1), jnp.float32)
     logits = logits.astype(jnp.float32)
     recon = criterion(logits, masks)
-    kl = kl_with_free_bits(mu, logvar, free_bits=config.free_bits) if is_vae else jnp.zeros(())
+    if ds:
+        # nnU-Net-style weighting: each coarser level carries half the
+        # weight of the one above; normalize so the total stays a convex
+        # combination (main at 512^2 keeps the largest share).
+        inter = mutated["intermediates"]
+        w, total_w = 1.0, 1.0
+        for i in (2, 1, 0):       # 1/4 -> 1/16 resolution
+            aux = inter[f"ds_logits_{i}"][0].astype(jnp.float32)
+            w *= 0.5
+            soft = resize_bilinear(masks.astype(jnp.float32),
+                                   aux.shape[1:3], align_corners=False)
+            recon = recon + w * criterion(aux, soft)
+            total_w += w
+        recon = recon / total_w
+    kl = (kl_with_free_bits(mu, logvar, free_bits=config.free_bits,
+                            clamp_leak=config.kl_clamp_leak)
+          if is_vae else jnp.zeros(()))
     loss = recon + beta * kl
     aux = {"loss": loss, "recon_loss": recon, "kl_loss": kl,
            "mu": mu.astype(jnp.float32), "logvar": logvar.astype(jnp.float32)}
@@ -61,6 +79,7 @@ def make_train_step(config: TrainConfig, model=None,
                     axis_name: Optional[str] = None,
                     augment: bool = False,
                     indexed: bool = False,
+                    gather: Optional[Callable] = None,
                     jit: bool = True):
     """Build the train step.
 
@@ -70,7 +89,10 @@ def make_train_step(config: TrainConfig, model=None,
     step(state, data_images_u8, data_masks_u8, idx, beta) — the batch is
     gathered from the HBM-resident dataset and normalized inside the same
     compiled program (see data.device_cache), so the host never touches
-    pixels during an epoch.
+    pixels during an epoch.  `gather` overrides the gather lowering
+    (e.g. ImageDeviceCache.make_gather(): `idx` becomes [B,3] patch
+    records sliced out of whole-image arrays); default is the flat
+    patch-array jnp.take.
 
     `images` is [accum * micro_batch, H, W, C]; with
     config.gradient_accumulation_steps > 1 it is split into microbatches that
@@ -159,10 +181,12 @@ def make_train_step(config: TrainConfig, model=None,
         return new_state, aux
 
     if indexed:
-        from vaeunet_tpu.data.device_cache import gather_batch_device
+        if gather is None:
+            from vaeunet_tpu.data.device_cache import gather_batch_device
+            gather = gather_batch_device
 
         def indexed_step(state, data_images, data_masks, idx, beta):
-            images, masks = gather_batch_device(data_images, data_masks, idx)
+            images, masks = gather(data_images, data_masks, idx)
             return step(state, images, masks, beta)
 
         if jit:
@@ -209,6 +233,7 @@ def make_eval_step(config: TrainConfig, model=None,
                    apply_sigmoid_for_metrics: bool = False,
                    axis_name: Optional[str] = None,
                    indexed: bool = False,
+                   gather: Optional[Callable] = None,
                    jit: bool = True):
     """Validation step rebuilding reference evaluate.py:20-101.
 
@@ -249,10 +274,12 @@ def make_eval_step(config: TrainConfig, model=None,
         return metrics, logits
 
     if indexed:
-        from vaeunet_tpu.data.device_cache import gather_batch_device
+        if gather is None:
+            from vaeunet_tpu.data.device_cache import gather_batch_device
+            gather = gather_batch_device
 
         def indexed_step(variables, data_images, data_masks, idx, rng, valid):
-            images, masks = gather_batch_device(data_images, data_masks, idx)
+            images, masks = gather(data_images, data_masks, idx)
             return step(variables, images, masks, rng, valid)
 
         if jit:
