@@ -20,6 +20,7 @@ Stages are marker-file guarded so an interrupted drive resumes.
 
 import argparse
 import json
+import logging
 import sys
 import time
 from pathlib import Path
@@ -100,8 +101,13 @@ def train_members(args, members) -> dict:
         run = latest_run_dir(config)
         marker.write_text(run)
         runs[label] = run
-        print(f"[{label}] done in {(time.time() - t0) / 60:.1f} min -> {run}",
-              flush=True)
+        try:
+            import psutil
+            rss = psutil.Process().memory_info().rss / 1e9
+        except Exception:  # noqa: BLE001
+            rss = float("nan")
+        print(f"[{label}] done in {(time.time() - t0) / 60:.1f} min "
+              f"(host rss {rss:.1f} GB) -> {run}", flush=True)
     return runs
 
 
@@ -125,6 +131,9 @@ def compute_maps(args, members, runs, maps_dir: Path) -> None:
 
 
 def main():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s")
     p = argparse.ArgumentParser()
     p.add_argument("--lesion-type", required=True)
     p.add_argument("--split", default="test")

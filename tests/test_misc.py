@@ -185,6 +185,12 @@ def test_family_drive_member_grammar():
 
     label, kw = fd.parse_member("p25:scale=0.25,seed=7,oversample=20,loss=focal")
     assert kw["oversample_lesion"] == 20.0 and kw["loss"] == "focal"
+
+    label, kw = fd.parse_member(
+        "c10:scale=1.0,epochs=18,lr=2e-4,klleak=0.01,ds=1")
+    assert kw["learning_rate"] == 2e-4
+    assert kw["kl_clamp_leak"] == 0.01
+    assert kw["deep_supervision"] is True
     # every key must be a real TrainConfig field
     for k in kw:
         assert hasattr(TrainConfig(), k), k
