@@ -50,6 +50,9 @@ def parse_member(spec: str):
             kw["learning_rate"] = float(v)
         elif k == "klleak":
             kw["kl_clamp_leak"] = float(v)
+        elif k == "patience":
+            # counted per VALIDATION (2/epoch) like the reference's loop
+            kw["early_stopping_patience"] = int(v)
         else:
             raise ValueError(f"unknown member key {k!r} in {spec!r}")
     if "img_scale" not in kw:
