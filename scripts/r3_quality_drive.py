@@ -41,9 +41,36 @@ MEMBERS = [
     # round-2's pool also carried a second seed at the strong scale; the
     # 0.25x member trades small-lesion acuity for 4x receptive context on
     # the confluent-plaque failure mode (IDRiD_81)
-    ("h05", dict(seed=1337, img_scale=0.5, epochs=60)),
+    ("h05", dict(seed=1337, img_scale=0.5, epochs=60, learning_rate=2e-4,
+                 batch_size=8, early_stopping_patience=10)),
     ("p25", dict(seed=42, img_scale=0.25, epochs=60, oversample_lesion=20.0)),
+    # round-1's best from-scratch recipe ran at lr 2e-4 / effective batch 16
+    # (RESULTS.md round-1 quality section: val dice 0.665 at ~21 epochs);
+    # the members above inherit the config default 1e-4, which early-stops
+    # lower (a05 stopped at val 0.611).  Re-add the proven operating point
+    # at both scales.
+    # patience 10 validations (= 5 epochs; reference CLI default is 5):
+    # the lr-1e-4 members above stopped at val 0.54-0.61 after <5 epochs,
+    # far below the 0.665-0.687 the same recipes reached in round 2 —
+    # member quality is worth the extra wall-clock here.
+    ("a2e4", dict(seed=42, img_scale=0.5, epochs=60, learning_rate=2e-4,
+                  batch_size=8, early_stopping_patience=10)),
+    ("c2e4", dict(seed=42, img_scale=1.0, epochs=30, oversample_lesion=20.0,
+                  learning_rate=2e-4, early_stopping_patience=10)),
+    # deep-supervision member (da8ae1d added the feature as a from-scratch
+    # training aid; this is its first measured run) — diversity for fusion,
+    # and the val floor below drops it if it underperforms
+    ("d2e4", dict(seed=99, img_scale=0.5, epochs=60, learning_rate=2e-4,
+                  batch_size=8, early_stopping_patience=10,
+                  deep_supervision=True)),
 ]
+
+# Pre-registered pool-qualification rule (val-split only, never test):
+# a member joins the protocol pool iff its best validation dice >= 0.5.
+# Rationale: the parameter-free protocol mean-fuses ALL pool members, so a
+# collapsed run (p25 stopped at val 0.303) would dilute every image; a
+# val-based floor keeps the protocol honest (no test-set selection).
+VAL_FLOOR = 0.5
 
 
 def probe_tpu(max_tries: int = 30) -> None:
@@ -68,6 +95,11 @@ def probe_tpu(max_tries: int = 30) -> None:
     raise RuntimeError("TPU never became healthy")
 
 
+def best_val_score(run_dir: str) -> float:
+    state = json.loads((Path(run_dir) / "host_state.json").read_text())
+    return float(state["best_val_score"])
+
+
 def train_members() -> dict:
     from vaeunet_tpu.training.checkpoint import latest_run_dir
     from vaeunet_tpu.training.config import TrainConfig
@@ -79,8 +111,9 @@ def train_members() -> dict:
         marker = ckdir / "DRIVE_DONE"
         config = TrainConfig(
             model_type="resnet", lesion_type="EX", data_dir=DATA_DIR,
-            patch_size=512, batch_size=6, gradient_accumulation_steps=2,
-            amp=True, checkpoint_dir=str(ckdir), **kw)
+            patch_size=512, gradient_accumulation_steps=2,
+            amp=True, checkpoint_dir=str(ckdir),
+            **{"batch_size": 6, **kw})
         if marker.exists():
             runs[label] = marker.read_text().strip()
             print(f"[{label}] already trained: {runs[label]}", flush=True)
@@ -96,14 +129,15 @@ def train_members() -> dict:
     return runs
 
 
-def compute_maps(runs: dict) -> None:
+def compute_maps(runs: dict, pool: list) -> None:
     import scripts.compute_member_maps as cmm
 
     argv = ["compute_member_maps", "--lesion-type", "EX", "--split", "test",
             "--outdir", str(MAPS_DIR), "--data-dir", DATA_DIR,
             "--samples", "10", "--patch-size", "512"]
-    for label, kw in MEMBERS:
-        scale = kw["img_scale"]
+    scales = dict((label, kw["img_scale"]) for label, kw in MEMBERS)
+    for label in pool:
+        scale = scales[label]
         argv += ["--member", f"{label}={runs[label]}@{scale}",
                  "--member", f"{label}F={runs[label]}@{scale}:h"]
     old = sys.argv
@@ -117,10 +151,17 @@ def compute_maps(runs: dict) -> None:
 def main():
     probe_tpu()
     runs = train_members()
-    compute_maps(runs)
+    vals = {label: best_val_score(run) for label, run in runs.items()}
+    pool = sorted(l for l, v in vals.items() if v >= VAL_FLOOR)
+    for label in sorted(vals):
+        tag = "pool" if label in pool else f"EXCLUDED (val floor {VAL_FLOOR})"
+        print(f"[{label}] best val dice {vals[label]:.4f} -> {tag}",
+              flush=True)
+    compute_maps(runs, pool)
     point = {
-        "members": sorted([l for l, _ in MEMBERS]
-                          + [f"{l}F" for l, _ in MEMBERS]),
+        "members": sorted(pool + [f"{l}F" for l in pool]),
+        "member_val_dice": {l: round(vals[l], 4) for l in sorted(vals)},
+        "val_floor": VAL_FLOOR,
         "fusion": "mean", "weight": 1.0,
         "threshold_mode": "area", "threshold": 1.0,
         "objective": ("none (parameter-free protocol: all members, mean "
