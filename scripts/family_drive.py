@@ -53,6 +53,8 @@ def parse_member(spec: str):
         elif k == "patience":
             # counted per VALIDATION (2/epoch) like the reference's loop
             kw["early_stopping_patience"] = int(v)
+        elif k == "bs":
+            kw["batch_size"] = int(v)
         else:
             raise ValueError(f"unknown member key {k!r} in {spec!r}")
     if "img_scale" not in kw:
@@ -91,9 +93,9 @@ def train_members(args, members) -> dict:
         config = TrainConfig(
             model_type="resnet", lesion_type=args.lesion_type,
             data_dir=args.data_dir, patch_size=args.patch_size,
-            batch_size=args.batch_size,
             gradient_accumulation_steps=args.grad_accum,
-            amp=True, checkpoint_dir=str(ckdir), **kw)
+            amp=True, checkpoint_dir=str(ckdir),
+            **{"batch_size": args.batch_size, **kw})
         if marker.exists():
             runs[label] = marker.read_text().strip()
             print(f"[{label}] already trained: {runs[label]}", flush=True)
@@ -114,15 +116,21 @@ def train_members(args, members) -> dict:
     return runs
 
 
-def compute_maps(args, members, runs, maps_dir: Path) -> None:
+def best_val_score(run_dir: str) -> float:
+    state = json.loads((Path(run_dir) / "host_state.json").read_text())
+    return float(state["best_val_score"])
+
+
+def compute_maps(args, members, runs, maps_dir: Path, pool: list) -> None:
     import scripts.compute_member_maps as cmm
 
     argv = ["compute_member_maps", "--lesion-type", args.lesion_type,
             "--split", args.split, "--outdir", str(maps_dir),
             "--data-dir", args.data_dir, "--samples", str(args.samples),
             "--patch-size", str(args.patch_size)]
-    for label, kw in members:
-        scale = kw["img_scale"]
+    scales = dict((label, kw["img_scale"]) for label, kw in members)
+    for label in pool:
+        scale = scales[label]
         argv += ["--member", f"{label}={runs[label]}@{scale}",
                  "--member", f"{label}F={runs[label]}@{scale}:h"]
     old = sys.argv
@@ -149,6 +157,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=6)
     p.add_argument("--grad-accum", type=int, default=2)
     p.add_argument("--samples", type=int, default=10)
+    p.add_argument("--val-floor", type=float, default=0.5,
+                   help="pre-registered pool rule: a member joins the "
+                        "protocol pool iff its best VALIDATION dice passes "
+                        "this floor (never test-based selection)")
     args = p.parse_args()
     if args.tag is None:
         args.tag = f"r3{args.lesion_type.lower()}"
@@ -158,11 +170,19 @@ def main():
 
     probe_tpu()
     runs = train_members(args, members)
-    compute_maps(args, members, runs, maps_dir)
+    vals = {label: best_val_score(run) for label, run in runs.items()}
+    pool = sorted(l for l, v in vals.items() if v >= args.val_floor)
+    for label in sorted(vals):
+        tag = ("pool" if label in pool
+               else f"EXCLUDED (val floor {args.val_floor})")
+        print(f"[{label}] best val dice {vals[label]:.4f} -> {tag}",
+              flush=True)
+    compute_maps(args, members, runs, maps_dir, pool)
 
     point = {
-        "members": sorted([l for l, _ in members]
-                          + [f"{l}F" for l, _ in members]),
+        "members": sorted(pool + [f"{l}F" for l in pool]),
+        "member_val_dice": {l: round(vals[l], 4) for l in sorted(vals)},
+        "val_floor": args.val_floor,
         "fusion": "mean", "weight": 1.0,
         "threshold_mode": "area", "threshold": 1.0,
         "objective": ("none (parameter-free protocol: all members, mean "

@@ -187,10 +187,12 @@ def test_family_drive_member_grammar():
     assert kw["oversample_lesion"] == 20.0 and kw["loss"] == "focal"
 
     label, kw = fd.parse_member(
-        "c10:scale=1.0,epochs=18,lr=2e-4,klleak=0.01,ds=1")
+        "c10:scale=1.0,epochs=18,lr=2e-4,klleak=0.01,ds=1,bs=8,patience=10")
     assert kw["learning_rate"] == 2e-4
     assert kw["kl_clamp_leak"] == 0.01
     assert kw["deep_supervision"] is True
+    assert kw["batch_size"] == 8
+    assert kw["early_stopping_patience"] == 10
     # every key must be a real TrainConfig field
     for k in kw:
         assert hasattr(TrainConfig(), k), k
