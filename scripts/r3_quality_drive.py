@@ -33,36 +33,43 @@ sys.path.insert(0, str(REPO))
 MAPS_DIR = REPO / ".maps" / "r3_ex_test"
 DATA_DIR = "/root/reference/data"
 
+# Ordered strongest-expected-first: the previous environment's drive measured
+# the config-default lr-1e-4 members early-stopping at val 0.30-0.65 while
+# round-1's best from-scratch recipe (lr 2e-4 / effective batch 16, patience
+# 10 validations) reached val 0.665-0.687 — so the proven operating point
+# trains first and weaker diversity members trail.  Each member's maps are
+# computed immediately after its training (see main), so an interrupted
+# drive still leaves a coherent protocol pool.
 MEMBERS = [
     # label, train-config overrides
-    ("a05", dict(seed=42, img_scale=0.5, epochs=60)),
-    ("c10", dict(seed=42, img_scale=1.0, epochs=18, oversample_lesion=20.0)),
-    ("i10", dict(seed=7, img_scale=1.0, epochs=18)),
-    # round-2's pool also carried a second seed at the strong scale; the
-    # 0.25x member trades small-lesion acuity for 4x receptive context on
-    # the confluent-plaque failure mode (IDRiD_81)
-    ("h05", dict(seed=1337, img_scale=0.5, epochs=60, learning_rate=2e-4,
-                 batch_size=8, early_stopping_patience=10)),
-    ("p25", dict(seed=42, img_scale=0.25, epochs=60, oversample_lesion=20.0)),
-    # round-1's best from-scratch recipe ran at lr 2e-4 / effective batch 16
-    # (RESULTS.md round-1 quality section: val dice 0.665 at ~21 epochs);
-    # the members above inherit the config default 1e-4, which early-stops
-    # lower (a05 stopped at val 0.611).  Re-add the proven operating point
-    # at both scales.
-    # patience 10 validations (= 5 epochs; reference CLI default is 5):
-    # the lr-1e-4 members above stopped at val 0.54-0.61 after <5 epochs,
-    # far below the 0.665-0.687 the same recipes reached in round 2 —
-    # member quality is worth the extra wall-clock here.
     ("a2e4", dict(seed=42, img_scale=0.5, epochs=60, learning_rate=2e-4,
                   batch_size=8, early_stopping_patience=10)),
+    # the plaque member: scale 1.0 + large-lesion oversampling recovered
+    # IDRiD_81 0.40 -> 0.68 in round 2
     ("c2e4", dict(seed=42, img_scale=1.0, epochs=30, oversample_lesion=20.0,
                   learning_rate=2e-4, early_stopping_patience=10)),
+    ("h05", dict(seed=1337, img_scale=0.5, epochs=60, learning_rate=2e-4,
+                 batch_size=8, early_stopping_patience=10)),
     # deep-supervision member (da8ae1d added the feature as a from-scratch
     # training aid; this is its first measured run) — diversity for fusion,
     # and the val floor below drops it if it underperforms
     ("d2e4", dict(seed=99, img_scale=0.5, epochs=60, learning_rate=2e-4,
                   batch_size=8, early_stopping_patience=10,
                   deep_supervision=True)),
+    # seed diversity at the strong scale-1.0 point (round 2 kept scale-1.0
+    # members at <=18 epochs per the train-longer overfitting measurement)
+    ("i2e4", dict(seed=7, img_scale=1.0, epochs=18, learning_rate=2e-4,
+                  early_stopping_patience=10)),
+    # 0.25x member trades small-lesion acuity for 4x receptive context on
+    # the confluent-plaque failure mode (IDRiD_81); its lr-1e-4 variant
+    # collapsed at val 0.303 last drive, so it gets the proven recipe too
+    ("p2e4", dict(seed=42, img_scale=0.25, epochs=60, oversample_lesion=20.0,
+                  learning_rate=2e-4, batch_size=8,
+                  early_stopping_patience=10)),
+    # config-default lr-1e-4 tail for pool breadth (historically val
+    # 0.54-0.61; the floor decides)
+    ("a05", dict(seed=42, img_scale=0.5, epochs=60)),
+    ("c10", dict(seed=42, img_scale=1.0, epochs=18, oversample_lesion=20.0)),
 ]
 
 # Pre-registered pool-qualification rule (val-split only, never test):
@@ -100,46 +107,40 @@ def best_val_score(run_dir: str) -> float:
     return float(state["best_val_score"])
 
 
-def train_members() -> dict:
+def train_member(label: str, kw: dict) -> str:
     from vaeunet_tpu.training.checkpoint import latest_run_dir
     from vaeunet_tpu.training.config import TrainConfig
     from vaeunet_tpu.training.loop import train_model
 
-    runs = {}
-    for label, kw in MEMBERS:
-        ckdir = REPO / "checkpoints" / f"r3_{label}"
-        marker = ckdir / "DRIVE_DONE"
-        config = TrainConfig(
-            model_type="resnet", lesion_type="EX", data_dir=DATA_DIR,
-            patch_size=512, gradient_accumulation_steps=2,
-            amp=True, checkpoint_dir=str(ckdir),
-            **{"batch_size": 6, **kw})
-        if marker.exists():
-            runs[label] = marker.read_text().strip()
-            print(f"[{label}] already trained: {runs[label]}", flush=True)
-            continue
-        print(f"[{label}] training: {kw}", flush=True)
-        t0 = time.time()
-        train_model(config)
-        run = latest_run_dir(config)
-        marker.write_text(run)
-        runs[label] = run
-        print(f"[{label}] done in {(time.time() - t0) / 60:.1f} min -> {run}",
-              flush=True)
-    return runs
+    ckdir = REPO / "checkpoints" / f"r3_{label}"
+    marker = ckdir / "DRIVE_DONE"
+    config = TrainConfig(
+        model_type="resnet", lesion_type="EX", data_dir=DATA_DIR,
+        patch_size=512, gradient_accumulation_steps=2,
+        amp=True, checkpoint_dir=str(ckdir),
+        **{"batch_size": 6, **kw})
+    if marker.exists():
+        run = marker.read_text().strip()
+        print(f"[{label}] already trained: {run}", flush=True)
+        return run
+    print(f"[{label}] training: {kw}", flush=True)
+    t0 = time.time()
+    train_model(config)
+    run = latest_run_dir(config)
+    marker.write_text(run)
+    print(f"[{label}] done in {(time.time() - t0) / 60:.1f} min -> {run}",
+          flush=True)
+    return run
 
 
-def compute_maps(runs: dict, pool: list) -> None:
+def compute_maps_for(label: str, run: str, scale: float) -> None:
     import scripts.compute_member_maps as cmm
 
     argv = ["compute_member_maps", "--lesion-type", "EX", "--split", "test",
             "--outdir", str(MAPS_DIR), "--data-dir", DATA_DIR,
-            "--samples", "10", "--patch-size", "512"]
-    scales = dict((label, kw["img_scale"]) for label, kw in MEMBERS)
-    for label in pool:
-        scale = scales[label]
-        argv += ["--member", f"{label}={runs[label]}@{scale}",
-                 "--member", f"{label}F={runs[label]}@{scale}:h"]
+            "--samples", "10", "--patch-size", "512",
+            "--member", f"{label}={run}@{scale}",
+            "--member", f"{label}F={run}@{scale}:h"]
     old = sys.argv
     sys.argv = argv
     try:
@@ -148,16 +149,7 @@ def compute_maps(runs: dict, pool: list) -> None:
         sys.argv = old
 
 
-def main():
-    probe_tpu()
-    runs = train_members()
-    vals = {label: best_val_score(run) for label, run in runs.items()}
-    pool = sorted(l for l, v in vals.items() if v >= VAL_FLOOR)
-    for label in sorted(vals):
-        tag = "pool" if label in pool else f"EXCLUDED (val floor {VAL_FLOOR})"
-        print(f"[{label}] best val dice {vals[label]:.4f} -> {tag}",
-              flush=True)
-    compute_maps(runs, pool)
+def write_point(pool: list, vals: dict) -> None:
     point = {
         "members": sorted(pool + [f"{l}F" for l in pool]),
         "member_val_dice": {l: round(vals[l], 4) for l in sorted(vals)},
@@ -169,6 +161,24 @@ def main():
     }
     MAPS_DIR.mkdir(parents=True, exist_ok=True)
     (MAPS_DIR / "point.json").write_text(json.dumps(point, indent=2))
+
+
+def main():
+    probe_tpu()
+    vals, pool = {}, []
+    # train -> qualify -> maps per member, so an interrupted drive leaves a
+    # coherent pool (maps + point.json) for the members finished so far
+    for label, kw in MEMBERS:
+        run = train_member(label, kw)
+        vals[label] = best_val_score(run)
+        ok = vals[label] >= VAL_FLOOR
+        tag = "pool" if ok else f"EXCLUDED (val floor {VAL_FLOOR})"
+        print(f"[{label}] best val dice {vals[label]:.4f} -> {tag}",
+              flush=True)
+        if ok:
+            compute_maps_for(label, run, kw["img_scale"])
+            pool.append(label)
+            write_point(sorted(pool), vals)
     print("drive complete; apply the protocol in a separate CPU process:",
           flush=True)
     print(f"  python scripts/tune_fusion.py --val-dir {MAPS_DIR} "
