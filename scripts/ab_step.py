@@ -23,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import vaeunet_tpu.ops.resize as R
 
-HW, B, STEPS, WARMUP = 512, 16, 15, 3
+HW, BATCH, STEPS, WARMUP = 512, 16, 15, 3
 
 VARIANTS = {
     # name: (band2x on, pad interleave)
@@ -38,6 +38,10 @@ def run_variant(name: str) -> float:
     from vaeunet_tpu.training.state import create_train_state
     from vaeunet_tpu.training.step import make_train_step
 
+    # "<variant>@<batch>" overrides the batch size (e.g. mm@24) to A/B
+    # whether a larger per-step batch amortizes fixed overheads.
+    name, _, bs = name.partition("@")
+    B = int(bs) if bs else BATCH
     band, pad = VARIANTS[name]
     R._BAND2X = band
     R._BAND2X_PAD = pad
