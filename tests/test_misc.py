@@ -201,3 +201,24 @@ def test_family_drive_member_grammar():
         fd.parse_member("x:epochs=3")      # missing scale
     with pytest.raises(ValueError):
         fd.parse_member("x:scale=1,bogus=2")
+
+
+def test_sample_from_latent_logvar_guard():
+    """Inference logvar guard: an out-of-distribution logvar (measured up
+    to ~21 when a patch-trained encoder sees a whole fundus image) must
+    not blow the sampled latent up to e^10 scale; in-range logvar is
+    untouched (identical draws with the same key)."""
+    from vaeunet_tpu.vae_utils import LOGVAR_GUARD, sample_from_latent
+
+    key = jax.random.PRNGKey(0)
+    mu = jnp.zeros((4, 16))
+    z_wild = sample_from_latent(mu, jnp.full((4, 16), 21.0), key)
+    assert bool(jnp.all(jnp.isfinite(z_wild)))
+    assert float(jnp.abs(z_wild).max()) < 10 * jnp.exp(LOGVAR_GUARD / 2)
+
+    logvar = jnp.linspace(-1.0, 1.0, 64).reshape(4, 16)
+    got = sample_from_latent(mu, logvar, key)
+    eps = jax.random.normal(key, (4, 16), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(eps * jnp.exp(0.5 * logvar)),
+        rtol=1e-6, atol=1e-6)

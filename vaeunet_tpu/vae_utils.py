@@ -18,10 +18,25 @@ import jax.numpy as jnp
 from vaeunet_tpu.models.vae_unet import UNetResNet
 
 
+LOGVAR_GUARD = 2.0
+
+
 def sample_from_latent(mu: jnp.ndarray, logvar: jnp.ndarray, rng,
                        temperature: float = 1.0) -> jnp.ndarray:
-    """z = mu + eps * std * T  (vae_utils.py:5-10)."""
-    std = jnp.exp(0.5 * logvar) * temperature
+    """z = mu + eps * std * T  (vae_utils.py:5-10).
+
+    Inference guard: `logvar` is clamped to +-LOGVAR_GUARD before
+    exponentiation.  The encoder is trained on 512^2 patches; encoding a
+    whole fundus image (the uncertainty protocol, predict.py) is out of
+    that distribution and can blow the logvar head up to ~21 (posterior
+    std ~4e4 vs the N(0,1) prior) — sampled latents then saturate the
+    decoder to zero probability everywhere.  A posterior std e>= the
+    prior's is uncertainty; 4 orders of magnitude above it is a numeric
+    pathology, so the clamp bounds std to e^1 without touching training
+    (the KL term uses raw logvar) or in-range members (measured encoder
+    logvar on healthy members: [-0.5, 0.2])."""
+    std = jnp.exp(0.5 * jnp.clip(logvar, -LOGVAR_GUARD, LOGVAR_GUARD))
+    std = std * temperature
     eps = jax.random.normal(rng, std.shape, std.dtype)
     return mu + eps * std
 
