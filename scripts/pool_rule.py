@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Qualify ensemble members for the parameter-free protocol from VAL maps.
+
+The original pool rule used the training loop's best validation dice
+(patch-posterior regime).  Drive-5 forensics (RESULTS.md) showed that rule
+passes members that are degenerate or miscalibrated in the regime the
+protocol actually runs in — whole-image maps with sampled latents:
+a member can hold val-patch dice 0.68 while its whole-image maps are
+numerically degenerate, and an undertrained member can pass the patch
+floor while spraying 20x the lesion area in diffuse soft mass.
+
+Amended rule (still val-only, no test input): a member (and its flip-TTA
+variant) joins the pool iff ITS OWN whole-image maps score >= --floor
+mean dice on the VAL split under the protocol's decision rule (per-image
+expected-area threshold at w_a=1.0).  Same inference regime as the
+protocol, same decision rule, measured on val.
+
+  python scripts/pool_rule.py --val-dir .maps/r3_ex_val \
+      --out .maps/r3_ex_test/point.json --floor 0.5
+
+Pure numpy — safe beside a live TPU drive.
+"""
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def area_threshold(p: np.ndarray, w_a: float = 1.0) -> float:
+    """Smallest threshold t where |{p > t}| <= w_a * sum(p) (returns `hi`,
+    matching tune_fusion.area_thresholds' first-bin-edge-below-target
+    semantics — the midpoint would over-predict on plateaued maps)."""
+    target = w_a * p.sum()
+    lo, hi = 0.0, 1.0
+    for _ in range(40):
+        mid = (lo + hi) / 2
+        if (p > mid).sum() > target:
+            lo = mid
+        else:
+            hi = mid
+    return hi
+
+
+def dice(pred: np.ndarray, gt: np.ndarray) -> float:
+    inter = (pred & gt).sum()
+    return 2.0 * inter / max(pred.sum() + gt.sum(), 1e-9)
+
+
+def member_val_dice(val_dir: Path, label: str, imgs) -> float:
+    scores = []
+    for img in imgs:
+        p = np.load(val_dir / f"{label}_{img}.npy")
+        gt = np.load(val_dir / f"gt_{img}.npy").astype(bool)
+        scores.append(dice(p > area_threshold(p), gt))
+    return float(np.mean(scores))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--val-dir", required=True)
+    ap.add_argument("--out", required=True,
+                    help="point.json to write (protocol operating point)")
+    ap.add_argument("--floor", type=float, default=0.5)
+    args = ap.parse_args()
+
+    val_dir = Path(args.val_dir)
+    imgs = sorted(f.name[3:-4] for f in val_dir.glob("gt_*.npy"))
+    labels = sorted(set(f.name.rsplit("_IDRiD_", 1)[0]
+                        for f in val_dir.glob("*_IDRiD_*.npy")
+                        if not f.name.startswith("gt_")
+                        and not f.name.endswith("_mom.npy")))
+    # qualify on the base member; the flip variant inherits (same weights)
+    base = sorted(l for l in labels if not l.endswith("F"))
+    vals, pool = {}, []
+    for label in base:
+        vals[label] = member_val_dice(val_dir, label, imgs)
+        ok = vals[label] >= args.floor
+        if ok:
+            pool += [label] + ([f"{label}F"] if f"{label}F" in labels else [])
+        print(f"[{label}] val-map protocol dice {vals[label]:.4f} -> "
+              f"{'pool' if ok else f'EXCLUDED (floor {args.floor})'}",
+              flush=True)
+
+    point = {
+        "members": sorted(pool),
+        "member_val_map_dice": {k: round(v, 4) for k, v in vals.items()},
+        "val_floor": args.floor,
+        "pool_rule": ("val-map floor: member's own whole-image maps must "
+                      "score >= floor mean dice on the VAL split under the "
+                      "protocol's expected-area rule (same inference regime "
+                      "as the protocol; no test input)"),
+        "fusion": "mean", "weight": 1.0,
+        "threshold_mode": "area", "threshold": 1.0,
+        "objective": ("none (parameter-free protocol: all qualified "
+                      "members, mean fusion, expected-area threshold at "
+                      "w_a=1.0)"),
+    }
+    Path(args.out).write_text(json.dumps(point, indent=2))
+    print(f"wrote {args.out}: {len(pool)} pool entries", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -209,3 +209,38 @@ def test_apply_point_writes_reference_schema(tmp_path):
     header = csv.read_text().splitlines()[0]
     assert header == ("img_id,dice,ece,sparsification_error,"
                       "uncertainty_error_dice,error_auroc,error_auprc")
+
+
+def test_pool_rule_val_map_floor(tmp_path):
+    """pool_rule qualifies members by their own val-map protocol dice:
+    a good member passes, a degenerate (near-zero-mass) member and a
+    diffuse mass-sprayer fail, flip variants inherit qualification."""
+    import json
+    import sys
+
+    import scripts.pool_rule as pr
+
+    rng = np.random.RandomState(0)
+    gt = np.zeros((64, 64), np.uint8)
+    gt[20:40, 20:40] = 1
+    for img in ("IDRiD_55", "IDRiD_56"):
+        np.save(tmp_path / f"gt_{img}.npy", gt)
+        good = np.where(gt, 0.9, 0.02).astype(np.float32)
+        np.save(tmp_path / f"good_{img}.npy", good)
+        np.save(tmp_path / f"goodF_{img}.npy", good)
+        np.save(tmp_path / f"dead_{img}.npy",
+                np.full((64, 64), 1e-7, np.float32))
+        np.save(tmp_path / f"spray_{img}.npy",
+                rng.uniform(0.3, 0.6, (64, 64)).astype(np.float32))
+    out = tmp_path / "point.json"
+    argv = sys.argv
+    sys.argv = ["pool_rule", "--val-dir", str(tmp_path), "--out", str(out),
+                "--floor", "0.5"]
+    try:
+        pr.main()
+    finally:
+        sys.argv = argv
+    point = json.loads(out.read_text())
+    assert point["members"] == ["good", "goodF"]
+    assert point["member_val_map_dice"]["dead"] < 0.1
+    assert point["member_val_map_dice"]["spray"] < 0.5
