@@ -65,11 +65,16 @@ def main():
     args = ap.parse_args()
 
     val_dir = Path(args.val_dir)
-    imgs = sorted(f.name[3:-4] for f in val_dir.glob("gt_*.npy"))
     labels = sorted(set(f.name.rsplit("_IDRiD_", 1)[0]
                         for f in val_dir.glob("*_IDRiD_*.npy")
                         if not f.name.startswith("gt_")
                         and not f.name.endswith("_mom.npy")))
+    # score only val images covered by EVERY label (a drive interrupted
+    # mid-image leaves a gt without maps; scoring members on different
+    # image subsets would make the floor incomparable across members)
+    imgs = sorted(f.name[3:-4] for f in val_dir.glob("gt_*.npy")
+                  if all((val_dir / f"{l}_{f.name[3:]}").exists()
+                         for l in labels))
     # qualify on the base member; the flip variant inherits (same weights)
     base = sorted(l for l in labels if not l.endswith("F"))
     vals, pool = {}, []
