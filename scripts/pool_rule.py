@@ -56,12 +56,35 @@ def member_val_dice(val_dir: Path, label: str, imgs) -> float:
     return float(np.mean(scores))
 
 
+FUSION_RULES = {
+    "mean": lambda s: s.mean(0),
+    "max": lambda s: s.max(0),
+    "noisyor": lambda s: 1.0 - np.prod(1.0 - s, axis=0),
+}
+
+
+def fused_val_dice(val_dir: Path, pool, imgs, rule: str) -> float:
+    scores = []
+    for img in imgs:
+        stack = np.stack([np.clip(np.load(val_dir / f"{l}_{img}.npy"), 0, 1)
+                          for l in pool])
+        fused = FUSION_RULES[rule](stack)
+        gt = np.load(val_dir / f"gt_{img}.npy").astype(bool)
+        scores.append(dice(fused > area_threshold(fused), gt))
+    return float(np.mean(scores))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--val-dir", required=True)
     ap.add_argument("--out", required=True,
                     help="point.json to write (protocol operating point)")
     ap.add_argument("--floor", type=float, default=0.5)
+    ap.add_argument("--fusion-from-val", action="store_true",
+                    help="Pick the fusion rule (mean/max/noisy-or) by the "
+                         "qualified pool's fused VAL-map dice under the "
+                         "area rule — still val-only, frozen before any "
+                         "test input")
     args = ap.parse_args()
 
     val_dir = Path(args.val_dir)
@@ -87,6 +110,15 @@ def main():
               f"{'pool' if ok else f'EXCLUDED (floor {args.floor})'}",
               flush=True)
 
+    fusion, fusion_note = "mean", None
+    if args.fusion_from_val and pool:
+        by_rule = {r: fused_val_dice(val_dir, pool, imgs, r)
+                   for r in FUSION_RULES}
+        fusion = max(by_rule, key=by_rule.get)
+        fusion_note = {k: round(v, 4) for k, v in by_rule.items()}
+        print(f"fusion rule by fused val-map dice: {fusion_note} "
+              f"-> {fusion}", flush=True)
+
     point = {
         "members": sorted(pool),
         "member_val_map_dice": {k: round(v, 4) for k, v in vals.items()},
@@ -95,9 +127,13 @@ def main():
                       "score >= floor mean dice on the VAL split under the "
                       "protocol's expected-area rule (same inference regime "
                       "as the protocol; no test input)"),
-        "fusion": "mean", "weight": 1.0,
+        "fusion": fusion, "weight": 1.0,
+        **({"fusion_val_dice_by_rule": fusion_note} if fusion_note else {}),
         "threshold_mode": "area", "threshold": 1.0,
-        "objective": ("none (parameter-free protocol: all qualified "
+        "objective": (f"val-frozen fusion rule ({fusion} maximizes the "
+                      "qualified pool's fused val-map dice); expected-area "
+                      "threshold pinned at w_a=1.0" if fusion_note else
+                      "none (parameter-free protocol: all qualified "
                       "members, mean fusion, expected-area threshold at "
                       "w_a=1.0)"),
     }
