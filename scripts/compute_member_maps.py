@@ -49,6 +49,9 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--patch-size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--images", action="append", default=None,
+                   help="Restrict to these image ids (repeatable); default "
+                        "all images in the split")
     args = p.parse_args()
 
     import jax
@@ -63,6 +66,8 @@ def main():
     members = [parse_member(s) for s in args.member]
     out = Path(args.outdir)
     out.mkdir(parents=True, exist_ok=True)
+    for stale in out.glob(".tmp.*.npy"):  # killed mid-rename
+        stale.unlink()
 
     ds_by_scale = {}
     for _, _, scale, _ in members:
@@ -82,7 +87,10 @@ def main():
         return model_cache[ckpt]
 
     rng = jax.random.PRNGKey(args.seed)
-    for img_id in gt_ds.unique_image_ids():
+    img_ids = gt_ds.unique_image_ids()
+    if args.images:
+        img_ids = [i for i in img_ids if i in set(args.images)]
+    for img_id in img_ids:
         gt_path = out / f"gt_{img_id}.npy"
         if not gt_path.exists():
             _, mask = gt_ds.get_image_and_mask(img_id)
@@ -110,10 +118,14 @@ def main():
                 samples = resize_bilinear(samples, gt_shape,
                                           align_corners=False)
             s = np.asarray(samples)[..., 0]
-            np.save(out / f"{label}_{img_id}.npy",
-                    s.mean(0).astype(np.float32))
+            # mom first, map last via rename: the map file is the skip key,
+            # so its presence must imply both files are complete (a kill
+            # mid-np.save must not leave a truncated map that resumes trust)
             np.save(out / f"{label}_{img_id}_mom.npy",
                     np.stack([s.sum(0), (s ** 2).sum(0)]).astype(np.float32))
+            tmp = out / f".tmp.{label}.{img_id}.npy"
+            np.save(tmp, s.mean(0).astype(np.float32))
+            tmp.replace(out / f"{label}_{img_id}.npy")
             del samples, s
             print(f"map {out} {label} {img_id} done", flush=True)
         gc.collect()
