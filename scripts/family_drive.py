@@ -1,8 +1,7 @@
 #!/usr/bin/env python
 """Train a member pool for one lesion family and stage the parameter-free
 ensemble protocol: mean fusion over every member (+ h-flip TTA) with the
-per-image expected-area threshold at w_a=1.0.  Generalizes
-scripts/r3_quality_drive.py (EX preset) to any family/split.
+per-image expected-area threshold at w_a=1.0.
 
 ONE process end-to-end for the TPU stages (wedge discipline,
 .claude/skills/verify/SKILL.md); the numpy-heavy protocol apply runs as a
@@ -15,6 +14,9 @@ separate CPU process after this one exits:
 Member spec grammar: LABEL:key=value[,key=value...] with keys
   scale (required), seed (42), epochs (60), oversample (0), loss (default).
 
+Shared plumbing (probe/train/maps/deadline) lives in scripts/drive_common.py;
+the EX bootstrap preset is scripts/r4_bootstrap_ex.py.
+
 Stages are marker-file guarded so an interrupted drive resumes.
 """
 
@@ -22,11 +24,14 @@ import argparse
 import json
 import logging
 import sys
-import time
+
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+from scripts.drive_common import (  # noqa: E402
+    best_val_score, compute_maps, probe_tpu, train_member)
 
 
 def parse_member(spec: str):
@@ -62,83 +67,26 @@ def parse_member(spec: str):
     return label, kw
 
 
-def probe_tpu(max_tries: int = 30) -> None:
-    import jax
-    import jax.numpy as jnp
-    for i in range(max_tries):
-        try:
-            assert float((jnp.ones((4, 4)) + 1).sum()) == 32.0
-            print(f"tpu probe ok (backend={jax.default_backend()})",
-                  flush=True)
-            return
-        except Exception as e:  # noqa: BLE001
-            print(f"tpu probe {i}: {type(e).__name__}: {e}", flush=True)
-            try:
-                jax.clear_backends()
-            except Exception:
-                pass
-            time.sleep(600)
-    raise RuntimeError("TPU never became healthy")
-
-
 def train_members(args, members) -> dict:
-    from vaeunet_tpu.training.checkpoint import latest_run_dir
-    from vaeunet_tpu.training.config import TrainConfig
-    from vaeunet_tpu.training.loop import train_model
-
     runs = {}
     for label, kw in members:
-        ckdir = REPO / "checkpoints" / f"{args.tag}_{label}"
-        marker = ckdir / "DRIVE_DONE"
-        config = TrainConfig(
-            model_type="resnet", lesion_type=args.lesion_type,
+        runs[label] = train_member(
+            label, kw, tag=args.tag, lesion_type=args.lesion_type,
             data_dir=args.data_dir, patch_size=args.patch_size,
-            gradient_accumulation_steps=args.grad_accum,
-            amp=True, checkpoint_dir=str(ckdir),
-            **{"batch_size": args.batch_size, **kw})
-        if marker.exists():
-            runs[label] = marker.read_text().strip()
-            print(f"[{label}] already trained: {runs[label]}", flush=True)
-            continue
-        print(f"[{label}] training: {kw}", flush=True)
-        t0 = time.time()
-        train_model(config)
-        run = latest_run_dir(config)
-        marker.write_text(run)
-        runs[label] = run
-        try:
-            import psutil
-            rss = psutil.Process().memory_info().rss / 1e9
-        except Exception:  # noqa: BLE001
-            rss = float("nan")
-        print(f"[{label}] done in {(time.time() - t0) / 60:.1f} min "
-              f"(host rss {rss:.1f} GB) -> {run}", flush=True)
+            batch_size=args.batch_size, grad_accum=args.grad_accum)
     return runs
 
 
-def best_val_score(run_dir: str) -> float:
-    state = json.loads((Path(run_dir) / "host_state.json").read_text())
-    return float(state["best_val_score"])
-
-
-def compute_maps(args, members, runs, maps_dir: Path, pool: list) -> None:
-    import scripts.compute_member_maps as cmm
-
-    argv = ["compute_member_maps", "--lesion-type", args.lesion_type,
-            "--split", args.split, "--outdir", str(maps_dir),
-            "--data-dir", args.data_dir, "--samples", str(args.samples),
-            "--patch-size", str(args.patch_size)]
+def stage_maps(args, members, runs, maps_dir: Path, pool: list) -> None:
     scales = dict((label, kw["img_scale"]) for label, kw in members)
+    specs = []
     for label in pool:
         scale = scales[label]
-        argv += ["--member", f"{label}={runs[label]}@{scale}",
-                 "--member", f"{label}F={runs[label]}@{scale}:h"]
-    old = sys.argv
-    sys.argv = argv
-    try:
-        cmm.main()
-    finally:
-        sys.argv = old
+        specs += [f"{label}={runs[label]}@{scale}",
+                  f"{label}F={runs[label]}@{scale}:h"]
+    compute_maps(specs, args.split, maps_dir, args.lesion_type,
+                 data_dir=args.data_dir, samples=args.samples,
+                 patch_size=args.patch_size)
 
 
 def main():
@@ -177,7 +125,7 @@ def main():
                else f"EXCLUDED (val floor {args.val_floor})")
         print(f"[{label}] best val dice {vals[label]:.4f} -> {tag}",
               flush=True)
-    compute_maps(args, members, runs, maps_dir, pool)
+    stage_maps(args, members, runs, maps_dir, pool)
 
     point = {
         "members": sorted(pool + [f"{l}F" for l in pool]),

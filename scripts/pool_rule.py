@@ -27,11 +27,13 @@ from pathlib import Path
 import numpy as np
 
 
-def area_threshold(p: np.ndarray, w_a: float = 1.0) -> float:
-    """Smallest threshold t where |{p > t}| <= w_a * sum(p) (returns `hi`,
-    matching tune_fusion.area_thresholds' first-bin-edge-below-target
-    semantics — the midpoint would over-predict on plateaued maps)."""
-    target = w_a * p.sum()
+def area_threshold(p: np.ndarray, w_a: float = 1.0,
+                   target_area: float | None = None) -> float:
+    """Smallest threshold t where |{p > t}| <= w_a * target_area (returns
+    `hi`, matching tune_fusion.area_thresholds' first-bin-edge-below-target
+    semantics — the midpoint would over-predict on plateaued maps).
+    target_area defaults to the map's own soft mass sum(p)."""
+    target = w_a * (p.sum() if target_area is None else target_area)
     lo, hi = 0.0, 1.0
     for _ in range(40):
         mid = (lo + hi) / 2
@@ -59,18 +61,23 @@ def member_val_dice(val_dir: Path, label: str, imgs) -> float:
 FUSION_RULES = {
     "mean": lambda s: s.mean(0),
     "max": lambda s: s.max(0),
+    "median": lambda s: np.median(s, axis=0),
     "noisyor": lambda s: 1.0 - np.prod(1.0 - s, axis=0),
 }
 
 
-def fused_val_dice(val_dir: Path, pool, imgs, rule: str) -> float:
+def fused_val_dice(val_dir: Path, pool, imgs, rule: str,
+                   area_estimate: str = "fused") -> float:
     scores = []
     for img in imgs:
         stack = np.stack([np.clip(np.load(val_dir / f"{l}_{img}.npy"), 0, 1)
                           for l in pool])
         fused = FUSION_RULES[rule](stack)
+        target = (float(np.median(stack.sum(axis=(1, 2))))
+                  if area_estimate == "member_median" else None)
         gt = np.load(val_dir / f"gt_{img}.npy").astype(bool)
-        scores.append(dice(fused > area_threshold(fused), gt))
+        scores.append(dice(fused > area_threshold(fused, target_area=target),
+                           gt))
     return float(np.mean(scores))
 
 
@@ -80,9 +87,23 @@ def main():
     ap.add_argument("--out", required=True,
                     help="point.json to write (protocol operating point)")
     ap.add_argument("--floor", type=float, default=0.5)
+    ap.add_argument("--test-dir", default=None,
+                    help="If given, members lacking COMPLETE coverage of the "
+                         "test split's images are dropped up front — a drive "
+                         "killed between map stages must not leave a member "
+                         "the pool qualifies but the apply cannot load")
+    ap.add_argument("--area-estimate", default="member_median",
+                    choices=["fused", "member_median"],
+                    help="Lesion-area estimate the expected-area threshold "
+                         "matches: the fused map's own soft mass (the r2/r3 "
+                         "protocol), or the MEDIAN over members of their own "
+                         "soft mass (protocol v2 — robust to the diffuse-"
+                         "mass-sprayer members drive-5 forensics found "
+                         "dragging the fused threshold down; on images "
+                         "where members agree the two coincide)")
     ap.add_argument("--fusion-from-val", action="store_true",
-                    help="Pick the fusion rule (mean/max/noisy-or) by the "
-                         "qualified pool's fused VAL-map dice under the "
+                    help="Pick the fusion rule (mean/max/median/noisy-or) by "
+                         "the qualified pool's fused VAL-map dice under the "
                          "area rule — still val-only, frozen before any "
                          "test input")
     args = ap.parse_args()
@@ -92,6 +113,15 @@ def main():
                         for f in val_dir.glob("*_IDRiD_*.npy")
                         if not f.name.startswith("gt_")
                         and not f.name.endswith("_mom.npy")))
+    if args.test_dir:
+        test_dir = Path(args.test_dir)
+        test_imgs = sorted(f.name[3:-4] for f in test_dir.glob("gt_*.npy"))
+        covered = [l for l in labels
+                   if all((test_dir / f"{l}_{i}.npy").exists()
+                          for i in test_imgs)]
+        for l in sorted(set(labels) - set(covered)):
+            print(f"[{l}] DROPPED: incomplete test-map coverage", flush=True)
+        labels = covered
     # score only val images covered by EVERY label (a drive interrupted
     # mid-image leaves a gt without maps; scoring members on different
     # image subsets would make the floor incomparable across members)
@@ -112,7 +142,8 @@ def main():
 
     fusion, fusion_note = "mean", None
     if args.fusion_from_val and pool:
-        by_rule = {r: fused_val_dice(val_dir, pool, imgs, r)
+        by_rule = {r: fused_val_dice(val_dir, pool, imgs, r,
+                                     args.area_estimate)
                    for r in FUSION_RULES}
         fusion = max(by_rule, key=by_rule.get)
         fusion_note = {k: round(v, 4) for k, v in by_rule.items()}
@@ -123,6 +154,7 @@ def main():
         "members": sorted(pool),
         "member_val_map_dice": {k: round(v, 4) for k, v in vals.items()},
         "val_floor": args.floor,
+        "area_estimate": args.area_estimate,
         "pool_rule": ("val-map floor: member's own whole-image maps must "
                       "score >= floor mean dice on the VAL split under the "
                       "protocol's expected-area rule (same inference regime "

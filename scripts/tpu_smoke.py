@@ -31,6 +31,30 @@ def main():
     z2 = np.asarray(reparameterize_pallas(mu, logvar, seed=7))
     assert (z == z2).all(), "same seed must reproduce"
 
+    # 1b. production dispatch: gaussian_like must lower to the Pallas
+    # kernel on TPU (the north-star in-kernel-PRNG wiring), at the real
+    # latent shape (rows/cols below one VMEM tile), with sane moments,
+    # and the gradient path through it must stay alive
+    from vaeunet_tpu.ops.sampling import gaussian_like
+    from vaeunet_tpu.ops.pallas.reparam import normal_pallas
+    key = jax.random.PRNGKey(0)
+    jpr = str(jax.make_jaxpr(lambda k: gaussian_like(k, (16, 32)))(key))
+    assert "pallas" in jpr.lower(), "dispatch did not pick the kernel"
+    big = np.asarray(normal_pallas((8192, 64), seed=3))
+    print("normal_pallas stats: mean %.4f std %.4f" % (big.mean(), big.std()))
+    assert abs(big.mean()) < 0.05 and abs(big.std() - 1.0) < 0.05
+    tiny = np.asarray(gaussian_like(key, (3, 32)))
+    assert tiny.shape == (3, 32) and np.isfinite(tiny).all()
+
+    def latent_loss(m):
+        from vaeunet_tpu.vae_utils import sample_latents
+        zs = sample_latents(m, jnp.zeros_like(m), key, 1.0, 4)
+        return jnp.sum(zs ** 2)
+
+    g = np.asarray(jax.grad(latent_loss)(jnp.ones((2, 32))))
+    assert np.isfinite(g).all() and (g != 0).any()
+    print("gaussian_like dispatch + grad OK")
+
     # 2. fused BN+ReLU vs lax
     from vaeunet_tpu.ops.pallas.bn_relu import fused_bn_relu
     rng = np.random.RandomState(0)

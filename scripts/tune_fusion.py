@@ -40,7 +40,7 @@ THR_GRID = np.array([0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40,
 # adapts to under-confident images (low max-prob, but nonzero soft mass)
 # without any per-image supervision; w_a is the only tuned parameter.
 AREA_GRID = np.array([0.50, 0.65, 0.80, 0.90, 1.00, 1.10, 1.25, 1.50, 2.00])
-METHODS = [("max", 1.0), ("mean", 1.0),
+METHODS = [("max", 1.0), ("mean", 1.0), ("median", 1.0),
            ("noisyor", 0.5), ("noisyor", 1.0), ("noisyor", 1.5),
            ("noisyor", 2.0)]
 BINS = np.linspace(0.0, 1.0, 1001)
@@ -51,6 +51,8 @@ def fuse(stack: np.ndarray, method: str, w: float) -> np.ndarray:
         return stack.max(0)
     if method == "mean":
         return stack.mean(0)
+    if method == "median":
+        return np.median(stack, axis=0)
     return 1.0 - np.prod((1.0 - stack) ** w, axis=0)
 
 
@@ -254,10 +256,16 @@ def apply_point(cache: MapCache, point, out_dir: Path, protocol: str,
         stack = np.stack([cache.prob(l, img) for l in combo])
         fused = fuse(stack, method, w)
         if mode == "area":
+            # area target: the fused map's own soft mass (r2/r3 protocol),
+            # or the median of per-member masses (protocol v2 — robust to
+            # diffuse-mass-sprayer members; see pool_rule.py --area-estimate)
+            if point.get("area_estimate", "fused") == "member_median":
+                mass = float(np.median(stack.sum(axis=(1, 2))))
+            else:
+                mass = float(fused.sum())
             counts = np.concatenate(
                 [np.histogram(fused, bins=BINS)[0][::-1].cumsum()[::-1], [0]])
-            k = np.searchsorted(-counts, -(thr * float(fused.sum())),
-                                side="left")
+            k = np.searchsorted(-counts, -(thr * mass), side="left")
             t_img = float(BINS[min(k, len(BINS) - 1)])
             print(f"  test {img}: adaptive thr {t_img:.3f}")
         else:

@@ -100,3 +100,69 @@ def test_reparam_pallas_statistics():
     z4 = np.asarray(reparameterize_pallas(mu, logvar, seed=8,
                                           temperature=1.0))
     assert not np.array_equal(z, z4)
+
+
+def test_gaussian_like_cpu_fallback_and_batch_sampler():
+    """Off-TPU, gaussian_like == jax.random.normal bit-for-bit, and
+    sample_latents draws all N samples from ONE noise call with the same
+    logvar guard as sample_from_latent."""
+    from vaeunet_tpu.ops.sampling import gaussian_like
+    from vaeunet_tpu.vae_utils import sample_latents
+
+    key = jax.random.PRNGKey(3)
+    eps = gaussian_like(key, (5, 7), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(eps), np.asarray(jax.random.normal(key, (5, 7))))
+
+    mu = jnp.asarray(np.random.RandomState(0).randn(4, 16).astype(np.float32))
+    logvar = jnp.zeros((4, 16))
+    zs = sample_latents(mu, logvar, key, temperature=2.0, num_samples=6)
+    assert zs.shape == (6, 4, 16)
+    eps6 = jax.random.normal(key, (6, 4, 16))
+    np.testing.assert_allclose(np.asarray(zs),
+                               np.asarray(mu[None] + 2.0 * eps6),
+                               rtol=1e-6, atol=1e-6)
+    # the guard bounds out-of-distribution logvar exactly like the scalar path
+    z_wild = sample_latents(mu, jnp.full((4, 16), 30.0), key, num_samples=2)
+    assert float(jnp.abs(z_wild - mu[None]).max()) < 10 * float(jnp.exp(1.0))
+
+
+def test_gaussian_like_env_off(monkeypatch):
+    """VAEUNET_PALLAS_REPARAM=0 forces the jax.random path everywhere."""
+    from vaeunet_tpu.ops import sampling
+
+    monkeypatch.setenv("VAEUNET_PALLAS_REPARAM", "0")
+    assert sampling._use_pallas() is False
+    monkeypatch.setenv("VAEUNET_PALLAS_REPARAM", "auto")
+    assert sampling._use_pallas() is (jax.default_backend() == "tpu")
+
+
+def test_seed_from_key_distinct_and_stable():
+    from vaeunet_tpu.ops.sampling import _seed_from_key
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    s1 = int(_seed_from_key(k1))
+    s2 = int(_seed_from_key(k2))
+    assert s1 != s2
+    assert int(_seed_from_key(k1)) == s1
+    # typed keys fold to the same seed as their raw key_data
+    tk = jax.random.wrap_key_data(jax.random.key_data(k1))
+    assert int(_seed_from_key(tk)) == s1
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_seed has no CPU interpret rule; "
+                    "exercised on real TPU (see scripts/tpu_smoke.py)")
+def test_normal_pallas_statistics_tpu():
+    """The production noise kernel: N(0,1) moments, seed-deterministic,
+    legal at the tiny latent shape (rows/cols below one VMEM tile)."""
+    from vaeunet_tpu.ops.pallas.reparam import normal_pallas
+
+    z = np.asarray(normal_pallas((4096, 64), seed=11))
+    assert abs(z.mean()) < 0.05 and abs(z.std() - 1.0) < 0.05
+    z_small = np.asarray(normal_pallas((3, 32), seed=11))
+    assert z_small.shape == (3, 32)
+    np.testing.assert_array_equal(
+        np.asarray(normal_pallas((3, 32), seed=11)), z_small)
+    assert not np.array_equal(
+        np.asarray(normal_pallas((3, 32), seed=12)), z_small)

@@ -24,7 +24,7 @@ from vaeunet_tpu.inference.predict import (segmentation_distribution,
                                            uncertainty_maps)
 from vaeunet_tpu.inference.tiled import predict_tiled_ensemble
 from vaeunet_tpu.models.vae_unet import UNetResNet, resolve_injection
-from vaeunet_tpu.vae_utils import sample_from_latent
+from vaeunet_tpu.vae_utils import sample_latents
 
 log = logging.getLogger(__name__)
 
@@ -118,9 +118,8 @@ def _mean_prediction_at_temperature(model, variables, image, mu, logvar, rng,
                                     overlap=None):
     """Mean sigmoid map over samples_per_temp draws at one temperature."""
     h, w = image.shape[0], image.shape[1]
-    keys = jax.random.split(rng, samples_per_temp)
     t = temperature if should_sample else 0.0
-    zs = jax.vmap(lambda k: sample_from_latent(mu, logvar, k, t)[0])(keys)
+    zs = sample_latents(mu, logvar, rng, t, samples_per_temp)[:, 0]
     if patch_size is not None and (h > patch_size or w > patch_size):
         preds = predict_tiled_ensemble(model, variables, image, zs,
                                        patch_size, overlap=overlap,

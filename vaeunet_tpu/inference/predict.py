@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from vaeunet_tpu.models.vae_unet import UNetResNet
 from vaeunet_tpu.inference.tiled import predict_tiled_ensemble
-from vaeunet_tpu.vae_utils import sample_from_latent
+from vaeunet_tpu.vae_utils import sample_latents
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -88,8 +88,7 @@ def segmentation_distribution(model: UNetResNet, variables, image: jnp.ndarray,
     h, w = image.shape[0], image.shape[1]
     mu, logvar = model.apply(variables, image[None], False,
                              method=UNetResNet.encode)
-    keys = jax.random.split(rng, num_samples)
-    zs = jax.vmap(lambda k: sample_from_latent(mu, logvar, k, temperature)[0])(keys)
+    zs = sample_latents(mu, logvar, rng, temperature, num_samples)[:, 0]
 
     if patch_size is not None and (h > patch_size or w > patch_size):
         samples = predict_tiled_ensemble(model, variables, image, zs,

@@ -343,9 +343,17 @@ class UNetResNet(nn.Module):
         return mu, logvar, features
 
     def reparameterize(self, mu, logvar, rng, temperature: float = 1.0):
-        """z = mu + eps * std * T.  (unet_resnet.py:191-194, vae_utils.py:5-10)"""
+        """z = mu + eps * std * T.  (unet_resnet.py:191-194, vae_utils.py:5-10)
+
+        eps comes from `ops.sampling.gaussian_like`: the in-kernel TPU
+        hardware PRNG on the TPU backend (the reference's cuRAND
+        ``torch.randn_like`` counterpart, unet_resnet.py:193), jax.random
+        elsewhere.  The noise op has no differentiable inputs, so the
+        mu/logvar arithmetic stays an ordinary XLA-fused, differentiable
+        expression inside the training step."""
+        from vaeunet_tpu.ops.sampling import gaussian_like
         std = jnp.exp(0.5 * logvar)
-        eps = jax.random.normal(rng, std.shape, std.dtype)
+        eps = gaussian_like(rng, std.shape, std.dtype)
         return mu + eps * std * temperature
 
     def decode_features(self, z, features: Sequence[jnp.ndarray],

@@ -28,9 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _reparam_kernel(seed_ref, mu_ref, logvar_ref, temp_ref, z_ref):
-    pltpu.prng_seed(seed_ref[0])
-    shape = mu_ref.shape
+def _box_muller(shape):
+    """Standard-normal draws from the in-kernel hardware PRNG (seeded by the
+    caller via ``pltpu.prng_seed``)."""
     # two independent uniform draws; bitcast to uint32 — the raw bits are
     # int32, and an arithmetic >> of negative values would yield negative
     # "uniforms" (log() -> NaN)
@@ -42,7 +42,43 @@ def _reparam_kernel(seed_ref, mu_ref, logvar_ref, temp_ref, z_ref):
     i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
     u1 = i1.astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
     u2 = i2.astype(jnp.float32) * (1.0 / (1 << 24))
-    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def _normal_kernel(seed_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0])
+    out_ref[:] = _box_muller(out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def normal_pallas(shape, seed, interpret: bool = False) -> jnp.ndarray:
+    """Standard-normal [rows, cols] fp32 from the in-kernel TPU PRNG.
+
+    The noise-only split of the fused kernel below: its sole input is the
+    int32 seed, so AD treats the call as a constant and the surrounding
+    ``z = mu + eps * exp(0.5 * logvar) * T`` arithmetic stays ordinary
+    (differentiable, XLA-fused) — this is the form the production training
+    step uses (reference counterpart ``torch.randn_like``,
+    unet_resnet.py:193).  Shapes are padded up to the fp32 (8, 128) VMEM
+    tile and sliced back, so tiny latents ([B, 32]) are legal.
+    """
+    rows, cols = shape
+    pr = -(-rows // 8) * 8
+    pc = -(-cols // 128) * 128
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        _normal_kernel,
+        out_shape=jax.ShapeDtypeStruct((pr, pc), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(seed_arr)
+    return out[:rows, :cols]
+
+
+def _reparam_kernel(seed_ref, mu_ref, logvar_ref, temp_ref, z_ref):
+    pltpu.prng_seed(seed_ref[0])
+    eps = _box_muller(mu_ref.shape)
     std = jnp.exp(0.5 * logvar_ref[:]) * temp_ref[0]
     z_ref[:] = mu_ref[:] + eps * std
 

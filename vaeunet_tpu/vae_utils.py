@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from vaeunet_tpu.models.vae_unet import UNetResNet
+from vaeunet_tpu.ops.sampling import gaussian_like
 
 
 LOGVAR_GUARD = 2.0
@@ -37,8 +38,22 @@ def sample_from_latent(mu: jnp.ndarray, logvar: jnp.ndarray, rng,
     logvar on healthy members: [-0.5, 0.2])."""
     std = jnp.exp(0.5 * jnp.clip(logvar, -LOGVAR_GUARD, LOGVAR_GUARD))
     std = std * temperature
-    eps = jax.random.normal(rng, std.shape, std.dtype)
+    eps = gaussian_like(rng, std.shape, std.dtype)
     return mu + eps * std
+
+
+def sample_latents(mu: jnp.ndarray, logvar: jnp.ndarray, rng,
+                   temperature: float = 1.0,
+                   num_samples: int = 1) -> jnp.ndarray:
+    """[N, B, D] tempered draws in ONE noise call (same guard as
+    sample_from_latent).  One kernel launch instead of a vmap over per-sample
+    keys — on TPU the noise comes from the in-kernel hardware PRNG
+    (ops/sampling.py), which composes with batching by flattening rather than
+    by a pallas batching rule."""
+    std = jnp.exp(0.5 * jnp.clip(logvar, -LOGVAR_GUARD, LOGVAR_GUARD))
+    std = std * temperature
+    eps = gaussian_like(rng, (num_samples, *std.shape), std.dtype)
+    return mu[None] + eps * std[None]
 
 
 def encode_images(model: UNetResNet, variables, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -60,8 +75,7 @@ def generate_predictions(model: UNetResNet, variables, images, rng,
         variables, images, train, method=UNetResNet.encode_with_features)
     _, _, should_sample = _strategy(model)
     if should_sample or model.latent_injection != "none":
-        keys = jax.random.split(rng, num_samples)
-        zs = jax.vmap(lambda k: sample_from_latent(mu, logvar, k, temperature))(keys)
+        zs = sample_latents(mu, logvar, rng, temperature, num_samples)
     else:
         zs = jnp.broadcast_to(mu[None], (num_samples, *mu.shape))
     out_hw = images.shape[1:3]
