@@ -26,10 +26,11 @@ import vaeunet_tpu.ops.resize as R
 HW, BATCH, STEPS, WARMUP = 512, 16, 15, 3
 
 VARIANTS = {
-    # name: (band2x on, pad interleave)
-    "mm": (False, False),
-    "band-stack": (True, False),
-    "band-pad": (True, True),
+    # name: (band2x on, pad interleave, h-pass mode)
+    "mm": (False, False, "einsum"),
+    "band-stack": (True, False, "einsum"),
+    "band-pad": (True, True, "einsum"),
+    "mm-bwoc": (False, False, "bwoc"),
 }
 
 
@@ -42,9 +43,10 @@ def run_variant(name: str) -> float:
     # whether a larger per-step batch amortizes fixed overheads.
     name, _, bs = name.partition("@")
     B = int(bs) if bs else BATCH
-    band, pad = VARIANTS[name]
+    band, pad, hmode = VARIANTS[name]
     R._BAND2X = band
     R._BAND2X_PAD = pad
+    R._HMODE = hmode
 
     config = TrainConfig(model_type="resnet", batch_size=B,
                          gradient_accumulation_steps=1, amp=True,

@@ -29,12 +29,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def parse_member(spec: str):
+    """label=checkpoint@scale[:h|:v][:cK] — flip TTA and, for multi-task
+    (lesion_type='ALL') checkpoints, the output channel to read."""
     label, rest = spec.split("=", 1)
-    flip = None
-    if rest.rsplit(":", 1)[-1] in ("h", "v"):
-        rest, flip = rest.rsplit(":", 1)
+    parts = rest.split(":")
+    rest, flip, channel = parts[0], None, 0
+    for tok in parts[1:]:
+        if tok in ("h", "v"):
+            flip = tok
+        elif tok.startswith("c") and tok[1:].isdigit():
+            channel = int(tok[1:])
+        else:
+            raise ValueError(f"unknown member flag {tok!r} in {spec!r}")
     ckpt, scale = rest.rsplit("@", 1)
-    return label, ckpt, float(scale), flip
+    return label, ckpt, float(scale), flip, channel
 
 
 def main():
@@ -70,7 +78,7 @@ def main():
         stale.unlink()
 
     ds_by_scale = {}
-    for _, _, scale, _ in members:
+    for _, _, scale, _, _ in members:
         ds_by_scale.setdefault(scale, IDRIDDataset(
             args.data_dir, split=args.split, scale=scale, patch_size=None,
             lesion_type=args.lesion_type, skip_border_check=True))
@@ -96,7 +104,7 @@ def main():
             _, mask = gt_ds.get_image_and_mask(img_id)
             np.save(gt_path, np.asarray(mask)[..., 0].astype(np.uint8))
         gt_shape = tuple(np.load(gt_path, mmap_mode="r").shape[:2])
-        for label, ckpt, scale, flip in members:
+        for label, ckpt, scale, flip, channel in members:
             if (out / f"{label}_{img_id}.npy").exists():
                 continue
             model, variables = load(ckpt)
@@ -117,7 +125,7 @@ def main():
             if tuple(samples.shape[1:3]) != gt_shape:
                 samples = resize_bilinear(samples, gt_shape,
                                           align_corners=False)
-            s = np.asarray(samples)[..., 0]
+            s = np.asarray(samples)[..., channel]
             # mom first, map last via rename: the map file is the skip key,
             # so its presence must imply both files are complete (a kill
             # mid-np.save must not leave a truncated map that resumes trust)

@@ -24,7 +24,11 @@ DATA_DIR = "/root/reference/data"
 def probe_tpu(max_tries: int = 30) -> None:
     """Patient health probe: tiny op, clear_backends + 10-min sleeps on
     failure (post-drop outages last hours; cascading stage failures are
-    worse than waiting)."""
+    worse than waiting).  Also installs INFO logging so the training
+    loop's epoch/val lines reach the drive log."""
+    import logging
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
     import jax
     import jax.numpy as jnp
     for i in range(max_tries):

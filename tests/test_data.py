@@ -227,3 +227,73 @@ def test_image_cache_estimate_contract(synth_data):
     assert len(over) > len(ds)
     assert estimate_bytes(over) > estimate_bytes(ds)
     assert estimate_image_bytes(over) == est_img
+
+
+def test_multilesion_all_mode(synth_data):
+    """lesion_type='ALL': 5-channel masks ordered by LESION_TYPES, absent
+    families as true-zero channels, any-channel patch positivity, and the
+    device-cache layouts serving identical batches to __getitem__."""
+    from vaeunet_tpu.data.dataset import LESION_TYPES
+    from vaeunet_tpu.data.device_cache import (
+        DeviceCache, ImageDeviceCache, estimate_image_bytes)
+
+    # add an HE mask for one train image (others stay EX-only)
+    he_dir = synth_data / "masks" / "train" / "HE"
+    he_dir.mkdir(exist_ok=True)
+    h, w = 96, 128
+    he = np.zeros((h, w), np.uint8)
+    he[10:20, 90:110] = 255
+    Image.fromarray(he).save(he_dir / "IDRiD_00_HE.tif")
+
+    ds = IDRIDDataset(str(synth_data), split="train", scale=1.0,
+                      patch_size=64, lesion_type="ALL",
+                      skip_border_check=True)
+    s = ds[0]
+    assert s["mask"].shape == (64, 64, len(LESION_TYPES))
+    img_full, mask_full = ds.get_image_and_mask("IDRiD_00")
+    assert mask_full.shape == (96, 128, 5)
+    assert mask_full[..., 0].sum() > 0                      # EX present
+    assert mask_full[..., 1].sum() > 0                      # HE added above
+    assert mask_full[..., 2:].sum() == 0                    # MA/SE/OD absent
+
+    # any-channel positivity: the HE-only patch region counts as positive
+    pos_ids = {r[0] for r in ds.patch_index if r[3]}
+    assert "IDRiD_00" in pos_ids
+
+    # device caches serve the 5-channel masks
+    est = estimate_image_bytes(ds)
+    assert est and est > 0
+    for cache_cls in (DeviceCache, ImageDeviceCache):
+        cache = cache_cls(ds)
+        assert cache.masks.shape[-1] == 5
+        gather = cache.make_gather()
+        idx = cache.batch_indices([0, 1])
+        imgs, masks = jax.jit(gather)(cache.images, cache.masks,
+                                      jnp.asarray(idx))
+        assert masks.shape == (2, 64, 64, 5)
+        ref0 = ds[0]
+        np.testing.assert_allclose(np.asarray(imgs[0]), ref0["image"],
+                                   atol=1 / 255.0 + 1e-6)
+        np.testing.assert_array_equal(np.asarray(masks[0]),
+                                      ref0["mask"].astype(np.float32))
+
+
+def test_multilesion_criterion_and_augment():
+    """make_criterion('ALL') averages per-channel BCE+dice (sparse channels
+    keep gradient share), and the augmentation pipeline is channel-generic."""
+    from vaeunet_tpu.losses import combined_loss, make_criterion
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 16, 16, 5).astype(np.float32))
+    targets = jnp.asarray((rng.rand(2, 16, 16, 5) > 0.8).astype(np.float32))
+    crit = make_criterion("ALL")
+    got = float(crit(logits, targets))
+    want = float(np.mean([float(combined_loss(logits[..., i], targets[..., i]))
+                          for i in range(5)]))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    img = jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))
+    mask = jnp.asarray((rng.rand(32, 32, 5) > 0.7).astype(np.float32))
+    img2, mask2 = augment_sample(jax.random.PRNGKey(7), img, mask)
+    assert mask2.shape == (32, 32, 5)
+    assert set(np.unique(np.asarray(mask2))) <= {0.0, 1.0}

@@ -66,6 +66,10 @@ class AnalyzeArgs:
     # threshold from the map's soft mass (inference.expected_area_threshold).
     threshold_mode: str = "fixed"
     area_factor: float = 1.0
+    # The replication grid (scripts/replication_grid.py) runs 13 configs in
+    # one process; the global plot/aggregation stage is host-CPU-heavy and
+    # identical across configs of the same model, so it can be skipped.
+    global_plots: bool = True
 
 
 def analyze_model(model: UNetResNet, variables, dataset, args: AnalyzeArgs,
@@ -189,6 +193,15 @@ def analyze_model(model: UNetResNet, variables, dataset, args: AnalyzeArgs,
     log.info("Saved metrics data to %s", csv_path)
 
     # --- global aggregation stage (analyze_model.py:1069-1208) ---
+    if not args.global_plots:
+        if len(metrics_df):
+            log.info("Analyzed %d images | Dice %.4f | errAUROC %.4f "
+                     "(global plot stage skipped)", len(metrics_df),
+                     metrics_df["dice"].mean(),
+                     metrics_df["error_auroc"].mean())
+        if not args.keep_temp_data:
+            shutil.rmtree(temp_dir, ignore_errors=True)
+        return metrics_df
     gplots.plot_segmentation_roc_pr(processed_ids, temp_dir, out_dir,
                                     model_label=args.model_label, tracker=tracker)
     seg_metrics = calculate_segmentation_metrics_chunked(

@@ -98,12 +98,22 @@ def _resize_nearest_np(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     return x[ii][:, jj]
 
 
+LESION_TYPES = ("EX", "HE", "MA", "SE", "OD")
+
+
 class IDRIDDataset:
     """Loads fundus JPGs + per-lesion TIF masks and serves patch samples.
 
     Samples are dicts {'image': HWC float32 in [0,1], 'mask': HW1 float32,
     'img_id': str} — the NHWC analogue of the reference's CHW samples
     (data_loading.py:603-633).
+
+    ``lesion_type="ALL"`` (framework extension; the reference loads exactly
+    one lesion family per run, data_loading.py:42-47) serves a 5-channel
+    mask ordered by :data:`LESION_TYPES` for multi-task training — a
+    missing per-lesion TIF means the image has none of that lesion in
+    IDRiD, so absent channels are true all-zero negatives, not missing
+    labels.  Sample masks are then HW5.
     """
 
     def __init__(self, base_dir: str, split: str = "train", scale: float = 0.25,
@@ -129,9 +139,12 @@ class IDRIDDataset:
             f[:-4] for f in os.listdir(self.images_dir) if f.endswith(".jpg"))
         if max_images is not None:
             ids = ids[:max_images]
+        self.mask_channels = (LESION_TYPES if lesion_type == "ALL"
+                              else (lesion_type,))
         self.ids = [
             i for i in ids
-            if (self.masks_dir / lesion_type / f"{i}_{lesion_type}.tif").exists()
+            if any((self.masks_dir / lt / f"{i}_{lt}.tif").exists()
+                   for lt in self.mask_channels)
         ]
         if not self.ids:
             raise RuntimeError(
@@ -201,14 +214,25 @@ class IDRIDDataset:
         meta: Dict[str, Dict] = {}
         for img_id in self.ids:
             img = load_image(self.images_dir / f"{img_id}.jpg")
-            mask = Image.open(
-                self.masks_dir / self.lesion_type / f"{img_id}_{self.lesion_type}.tif"
-            ).convert("L")
-            if img.size != mask.size:
-                log.warning("Size mismatch for %s; skipping", img_id)
-                continue
             img_arr = preprocess_pil(img, self.scale, is_mask=False)   # HWC u8
-            mask_arr = preprocess_pil(mask, self.scale, is_mask=True)  # HW f32
+            channels, bad = [], False
+            for lt in self.mask_channels:
+                mask_path = self.masks_dir / lt / f"{img_id}_{lt}.tif"
+                if not mask_path.exists():
+                    channels.append(np.zeros(img_arr.shape[:2], np.float32))
+                    continue
+                mask = Image.open(mask_path).convert("L")
+                if img.size != mask.size:
+                    log.warning("Size mismatch for %s (%s); skipping",
+                                img_id, lt)
+                    bad = True
+                    break
+                channels.append(preprocess_pil(mask, self.scale,
+                                               is_mask=True))  # HW f32
+            if bad:
+                continue
+            mask_arr = (channels[0] if len(channels) == 1
+                        else np.stack(channels, axis=-1))       # HW or HWC
 
             if self.is_full_image:
                 d, center = detect_fundus(img_arr)
@@ -296,7 +320,10 @@ class IDRIDDataset:
                         if black > threshold:
                             continue
                     mp = mask[y:y + self.patch_size, x:x + self.patch_size]
-                    frac = float((mp > 0.5).mean())
+                    hit = mp > 0.5
+                    if hit.ndim == 3:     # multi-lesion: any channel counts
+                        hit = hit.any(axis=-1)
+                    frac = float(hit.mean())
                     if frac > 0.0:
                         positives.append((img_id, y, x, frac))
                     else:
@@ -352,8 +379,10 @@ class IDRIDDataset:
         if not self.is_full_image:
             img = img[y:y + self.patch_size, x:x + self.patch_size]
             mask = mask[y:y + self.patch_size, x:x + self.patch_size]
+        if mask.ndim == 2:
+            mask = mask[..., None]
         return {"image": np.ascontiguousarray(img),
-                "mask": np.ascontiguousarray(mask)[..., None],
+                "mask": np.ascontiguousarray(mask),
                 "img_id": img_id, "coords": (y, x),
                 "has_lesion": has_lesion}
 
@@ -363,7 +392,8 @@ class IDRIDDataset:
         DataLoader-worker equivalent.  Returns None when unavailable
         (full-image mode / float cache) — callers fall back to __getitem__.
         """
-        if self.is_full_image:
+        if self.is_full_image or len(self.mask_channels) > 1:
+            # the C++ gather handles single-plane HW masks only
             return None
         from vaeunet_tpu import native
         records = [self.patch_index[int(i)] for i in indices]
@@ -403,4 +433,4 @@ class IDRIDDataset:
         stitching source, visualize_vae.py:479-575 — here the unpatched
         arrays are cached, so no feathered re-stitching is needed)."""
         img, mask = self._image_arrays(img_id)
-        return img, mask[..., None]
+        return img, (mask[..., None] if mask.ndim == 2 else mask)

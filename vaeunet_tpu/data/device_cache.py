@@ -98,7 +98,8 @@ class DeviceCache:
             img_u8, mask_u8 = arrs
             for i, y, x in entries:
                 images[i] = img_u8[y:y + p, x:x + p]
-                masks[i] = mask_u8[y:y + p, x:x + p, None]
+                mp = mask_u8[y:y + p, x:x + p]
+                masks[i] = mp if mp.ndim == 3 else mp[..., None]
                 ids[i] = img_id
         return True
 
@@ -145,18 +146,25 @@ def gather_patch_records_device(data_images, data_masks, rec, patch_size: int):
     the cache stores each source image once.
     """
     p = patch_size
+    mask_channels = data_masks.ndim == 4  # multi-lesion [N,H,W,C] layout
 
     def one(r):
         img = jax.lax.dynamic_slice(
             data_images, (r[0], r[1], r[2], jnp.int32(0)),
             (1, p, p, data_images.shape[-1]))[0]
-        msk = jax.lax.dynamic_slice(
-            data_masks, (r[0], r[1], r[2]), (1, p, p))[0]
+        if mask_channels:
+            msk = jax.lax.dynamic_slice(
+                data_masks, (r[0], r[1], r[2], jnp.int32(0)),
+                (1, p, p, data_masks.shape[-1]))[0]
+        else:
+            msk = jax.lax.dynamic_slice(
+                data_masks, (r[0], r[1], r[2]), (1, p, p))[0]
         return img, msk
 
     images, masks = jax.vmap(one)(rec.astype(jnp.int32))
+    masks = masks.astype(jnp.float32)
     return (images.astype(jnp.float32) / 255.0,
-            masks.astype(jnp.float32)[..., None])
+            masks if mask_channels else masks[..., None])
 
 
 def estimate_image_bytes(dataset) -> Optional[int]:
@@ -173,7 +181,8 @@ def estimate_image_bytes(dataset) -> Optional[int]:
         return 0
     h = max(meta[i]["h"] for i in ids)
     w = max(meta[i]["w"] for i in ids)
-    return len(ids) * h * w * 4  # 3 image planes + 1 mask plane
+    c = len(getattr(dataset, "mask_channels", (0,)))  # mask planes
+    return len(ids) * h * w * (3 + c)  # 3 image planes + mask planes
 
 
 class ImageDeviceCache:
@@ -207,8 +216,9 @@ class ImageDeviceCache:
         id_to_pos = {img_id: i for i, img_id in enumerate(ids)}
         h = max(dataset.meta[i]["h"] for i in ids)
         w = max(dataset.meta[i]["w"] for i in ids)
+        c = len(getattr(dataset, "mask_channels", (0,)))
         images = np.zeros((len(ids), h, w, 3), np.uint8)
-        masks = np.zeros((len(ids), h, w), np.uint8)
+        masks = np.zeros((len(ids), h, w) + ((c,) if c > 1 else ()), np.uint8)
         for img_id in ids:
             arrs = raw(img_id)
             if arrs is None:
@@ -216,7 +226,9 @@ class ImageDeviceCache:
             img_u8, mask_u8 = arrs
             ih, iw = img_u8.shape[:2]
             images[id_to_pos[img_id], :ih, :iw] = img_u8
-            masks[id_to_pos[img_id], :ih, :iw] = np.squeeze(mask_u8)
+            masks[id_to_pos[img_id], :ih, :iw] = (
+                mask_u8 if mask_u8.ndim == masks.ndim - 1
+                else np.squeeze(mask_u8))
         self.records = np.asarray(
             [(id_to_pos[i], y, x) for i, y, x, _ in index], np.int32)
         self.img_ids = [index[i][0] for i in range(len(index))]
@@ -252,7 +264,7 @@ class ImageDeviceCache:
         imgs, msks = [], []
         for i, y, x in rec:
             img = np.asarray(self.images[i, y:y + p, x:x + p])
-            msk = np.asarray(self.masks[i, y:y + p, x:x + p])
+            msk = np.asarray(self.masks[i, y:y + p, x:x + p]).astype(np.float32)
             imgs.append(img.astype(np.float32) / 255.0)
-            msks.append(msk.astype(np.float32)[..., None])
+            msks.append(msk if msk.ndim == 3 else msk[..., None])
         return np.stack(imgs), np.stack(msks)

@@ -97,11 +97,12 @@ def _gather_tiles(image: jnp.ndarray, grid, patch_size: int) -> jnp.ndarray:
 
 def _scatter_blend(preds: jnp.ndarray, weights: jnp.ndarray, grid,
                    out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Weighted scatter-add of [T,P,P,1] tiles into [H,W,1], normalized.
+    """Weighted scatter-add of [T,P,P,C] tiles into [H,W,C], normalized.
     (visualize_vae.py:383-384,409)"""
     h, w = out_hw
-    out = jnp.zeros((h, w, 1), jnp.float32)
-    wsum = jnp.zeros((h, w, 1), jnp.float32)
+    c = preds.shape[-1]
+    out = jnp.zeros((h, w, c), jnp.float32)
+    wsum = jnp.zeros((h, w, c), jnp.float32)
     ys = jnp.asarray([g[0] for g in grid], jnp.int32)
     xs = jnp.asarray([g[1] for g in grid], jnp.int32)
 
@@ -175,7 +176,7 @@ def _decode_tiles(model: UNetResNet, variables, features, z: jnp.ndarray,
             f = jnp.concatenate([f, jnp.repeat(f[-1:], pad, axis=0)])
         feats.append(f.reshape(n_batches, batch_size, *f.shape[1:]))
     out = jax.lax.map(dec, tuple(feats))
-    out = out.reshape(n_batches * batch_size, patch_size, patch_size, 1)
+    out = out.reshape(n_batches * batch_size, patch_size, patch_size, -1)
     return out[:t]
 
 

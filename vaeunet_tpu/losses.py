@@ -159,6 +159,19 @@ class KLAnnealer:
         return self.kl_end
 
 
+def multichannel_combined_loss(logits: jnp.ndarray,
+                               targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean over mask channels of the BCE+Dice combination — the multi-task
+    'ALL' training loss (framework extension; the reference trains one
+    lesion family per run, train.py:312-316).  Per-channel Dice keeps the
+    gradient share of sparse families (MA dots) from being swamped by the
+    large-area ones (OD): a single flattened Dice over all channels would
+    be dominated by whichever channel has the most mass."""
+    n = logits.shape[-1]
+    per = [combined_loss(logits[..., i], targets[..., i]) for i in range(n)]
+    return jnp.mean(jnp.stack(per))
+
+
 def make_criterion(lesion_type: str, override: str = "auto"):
     """Loss selection rule from the reference train loop (train.py:312-316):
     MA gets the specialized focal+dice loss, everything else BCE+dice.
@@ -173,4 +186,6 @@ def make_criterion(lesion_type: str, override: str = "auto"):
     if override == "focal" or (override == "auto" and lesion_type == "MA"):
         return lambda logits, targets: ma_segmentation_loss(
             logits, targets, class_weight=0.9)
+    if lesion_type == "ALL":
+        return multichannel_combined_loss
     return combined_loss

@@ -40,6 +40,12 @@ _BAND2X = os.environ.get("VAEUNET_RESIZE_BAND2X", "0") == "1"
 # Measured: pad is WORSE end-to-end (144 vs 199 img/s) — the pad pair
 # defeats the TPU loop-fusion emitter on both sides.  Kept for A/B.
 _BAND2X_PAD = os.environ.get("VAEUNET_BAND2X_INTERLEAVE", "stack") == "pad"
+# H-pass contraction emission: "einsum" (default) asks for the bowc output
+# directly; "bwoc" emits the dot with the natural [b,w,o,c] output order and
+# a separate swapaxes, probing whether XLA folds the explicit transpose into
+# neighbours more cheaply than the dot-internal relayout it otherwise
+# inserts (the largest remaining copy family per scripts/profile_step.py).
+_HMODE = os.environ.get("VAEUNET_RESIZE_HMODE", "einsum")
 
 
 def _source_coords(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
@@ -81,6 +87,9 @@ def _mm_apply(x: jnp.ndarray, axis: int, m: jnp.ndarray) -> jnp.ndarray:
     if axis == x.ndim - 2:          # W of [..., H, W, C]
         return jnp.einsum("ow,...wc->...oc", m, x)
     if axis == x.ndim - 3:          # H of [..., H, W, C]
+        if _HMODE == "bwoc":
+            y = jnp.einsum("oh,...hwc->...woc", m, x)
+            return jnp.swapaxes(y, -3, -2)
         return jnp.einsum("oh,...hwc->...owc", m, x)
     xm = jnp.moveaxis(x, axis, -1)
     y = jnp.einsum("...i,oi->...o", xm, m)

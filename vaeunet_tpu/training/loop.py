@@ -76,18 +76,20 @@ def evaluate_model(eval_step, variables, loader: Loader, rng,
                                         jnp.asarray(batch["mask"]), sub, valid)
         per_batch.append(metrics)
         if len(samples) < max_samples:
-            probs = jax.nn.sigmoid(logits)
             take = min(max_samples - len(samples), count)
-            for i in range(take):
-                if device_data is not None:
-                    img, mask = device_data.fetch(batch["idx"][i:i + 1])
-                    img, mask = img[0], mask[0]
-                    img_id = device_data.img_ids[int(batch["idx"][i])]
-                else:
-                    img = np.asarray(batch["image"][i])
-                    mask = np.asarray(batch["mask"][i])
-                    img_id = batch["img_id"][i]
-                samples.append((img, np.asarray(probs[i]), mask, img_id))
+            # one indexed fetch for all viz rows of this batch (each device
+            # round-trip costs ~30 ms on the tunneled backend)
+            probs = np.asarray(jax.nn.sigmoid(logits[:take]))
+            if device_data is not None:
+                imgs, masks = device_data.fetch(batch["idx"][:take])
+                ids = [device_data.img_ids[int(batch["idx"][i])]
+                       for i in range(take)]
+            else:
+                imgs = np.asarray(batch["image"][:take])
+                masks = np.asarray(batch["mask"][:take])
+                ids = [batch["img_id"][i] for i in range(take)]
+            samples.extend(
+                (imgs[i], probs[i], masks[i], ids[i]) for i in range(take))
     if not per_batch:
         return {}, []
     # one host fetch for the whole pass
@@ -104,6 +106,12 @@ def train_model(config: TrainConfig,
                 place_batch=None,
                 resume_from: Optional[str] = None) -> TrainState:
     rng = jax.random.PRNGKey(config.seed)
+
+    if config.lesion_type == "ALL" and config.n_classes == 1:
+        # multi-task training: one output channel per lesion family
+        from vaeunet_tpu.data.dataset import LESION_TYPES
+        config.n_classes = len(LESION_TYPES)
+        log.info("lesion_type=ALL: n_classes set to %d", config.n_classes)
 
     if train_dataset is None or val_dataset is None:
         if config.dataset_type == "basic":
