@@ -326,10 +326,30 @@ def main():
                    help="Restrict the candidate pool to these labels")
     p.add_argument("--point-json", default=None,
                    help="Skip tuning; apply this frozen operating point")
+    p.add_argument("--protocol-free", action="store_true",
+                   help="Skip tuning; apply the pre-registered parameter-"
+                        "free protocol: EVERY member with complete test "
+                        "coverage, mean fusion, per-image expected-area "
+                        "threshold at w_a=1.0 with the member-median mass "
+                        "estimate (protocol v2, see pool_rule.py)")
     args = p.parse_args()
 
     test_cache = MapCache(Path(args.test_dir))
-    if args.point_json:
+    if args.protocol_free:
+        point = {
+            "members": sorted(test_cache.labels),
+            "fusion": "mean", "weight": 1.0,
+            "threshold_mode": "area", "threshold": 1.0,
+            "area_estimate": "member_median",
+            "objective": ("none (parameter-free protocol v2: all members, "
+                          "mean fusion, expected-area threshold at w_a=1.0, "
+                          "member-median mass estimate)"),
+        }
+        out = Path(args.output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "operating_point.json").write_text(json.dumps(point, indent=2))
+        print(f"protocol-free point: {json.dumps(point)}")
+    elif args.point_json:
         point = json.loads(Path(args.point_json).read_text())
     else:
         val_cache = MapCache(Path(args.val_dir), keep_probs=args.cache_maps,

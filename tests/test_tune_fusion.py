@@ -244,3 +244,48 @@ def test_pool_rule_val_map_floor(tmp_path):
     assert point["members"] == ["good", "goodF"]
     assert point["member_val_map_dice"]["dead"] < 0.1
     assert point["member_val_map_dice"]["spray"] < 0.5
+
+
+def test_member_median_area_estimate_resists_sprayers(tmp_path):
+    """Protocol v2: with a diffuse-mass-sprayer in the pool, the fused-mass
+    area target collapses precision (threshold driven toward the halo) while
+    the member-median target recovers the healthy members' area estimate.
+    This is the drive-5 IDRiD_80 failure in miniature (RESULTS.md)."""
+    import scripts.tune_fusion as tf
+
+    rng = np.random.RandomState(0)
+    gt = np.zeros((64, 64), bool)
+    gt[10:14, 10:14] = True                      # 16 px tiny lesion
+    healthy = np.where(gt, 0.85, 0.01).astype(np.float32)
+    sprayer = rng.uniform(0.25, 0.45, (64, 64)).astype(np.float32)
+    stack = np.stack([healthy, healthy, sprayer])
+    fused = stack.mean(0)
+
+    cp, cn, g = tf._hist_cumsums(fused, gt)
+
+    def dice_with_mass(mass):
+        counts = cp + cn
+        k = np.searchsorted(-counts, -(1.0 * mass), side="left")
+        t = tf.BINS[min(k, len(tf.BINS) - 1)]
+        pred = fused > t
+        return 2.0 * (pred & gt).sum() / (pred.sum() + gt.sum())
+
+    d_v1 = dice_with_mass(float(fused.sum()))                    # fused mass
+    d_v2 = dice_with_mass(float(np.median(stack.sum(axis=(1, 2)))))
+    assert d_v2 > d_v1 + 0.2, (d_v1, d_v2)
+
+    # apply_point honors the area_estimate field end-to-end
+    for img in ("IDRiD_01",):
+        np.save(tmp_path / f"gt_{img}.npy", gt.astype(np.uint8))
+        for lbl, arr in (("h1", healthy), ("h2", healthy), ("sp", sprayer)):
+            np.save(tmp_path / f"{lbl}_{img}.npy", arr)
+            np.save(tmp_path / f"{lbl}_{img}_mom.npy",
+                    np.stack([arr, arr ** 2]).astype(np.float32))
+    cache = tf.MapCache(tmp_path)
+    base = {"members": ["h1", "h2", "sp"], "fusion": "mean", "weight": 1.0,
+            "threshold_mode": "area", "threshold": 1.0}
+    d_fused = tf.apply_point(cache, base, tmp_path, "P1", 1)
+    d_med = tf.apply_point(cache, {**base, "area_estimate": "member_median"},
+                           tmp_path, "P2", 1)
+    np.testing.assert_allclose(d_fused, d_v1, atol=0.02)
+    np.testing.assert_allclose(d_med, d_v2, atol=0.02)
