@@ -75,8 +75,12 @@ def main():
                         learning_rate=2e-4, early_stopping_patience=10),
             tag="r4", lesion_type="MA")
         print(f"[ma1] best val dice {best_val_score(run):.4f}", flush=True)
+        # four TTA entries: the stronger committed reference MA number is
+        # analysis/MA_T1.0_N10 mean 0.494 (not the 0.449 of
+        # uncertainty/MA_T1.0_N15 restricted to the 5 test images), so the
+        # pool gets the extra cheap 0.5-scale flip
         specs = [f"ma10={run}@1.0", f"ma05={run}@0.5",
-                 f"ma10F={run}@1.0:h"]
+                 f"ma10F={run}@1.0:h", f"ma05F={run}@0.5:h"]
         compute_maps(specs, "test", REPO / ".maps" / "r4_ma_test", "MA")
         stamp("ma1 maps")
 

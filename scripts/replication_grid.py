@@ -52,6 +52,11 @@ CONFIGS = [
     ("MA_T1.0_N15", "MA", 1.0, 15),
     ("MA_T2.0_N3", "MA", 2.0, 3),
     ("MA_T2.0_N15", "MA", 2.0, 15),
+    # the reference also commits 5-image runs under analysis/ (its
+    # headline EX_T1.0_N10 = 0.708 lives there); cover its extra configs
+    ("EX_T2.0_N10", "EX", 2.0, 10),
+    ("MA_T1.0_N10", "MA", 1.0, 10),
+    ("MA_T2.0_N10", "MA", 2.0, 10),
 ]
 
 
