@@ -99,7 +99,15 @@ def main():
         stamp("mt10 EX maps")
 
     # -- 4. grid ablation members (train only; the grid analyzes them) ---
-    for label, inj in (("nolat", "none"), ("latb", "bottleneck")):
+    # "nolatent" in the reference's committed ablation still shows sampled
+    # uncertainty (uncertainty/EX_T1.0_N15_nolatent: sparsification 0.92,
+    # error-AUROC 0.97, uncertain pixels > 0), so it cannot be the 'none'
+    # strategy (identical samples, zero std) — it is the no-BOTTLENECK
+    # injection ('inject_no_bottleneck': z reaches the decoder levels but
+    # not the bottleneck).  '_latent' is the complementary bottleneck-only
+    # ablation.
+    for label, inj in (("nolat", "inject_no_bottleneck"),
+                       ("latb", "bottleneck")):
         if deadline_passed(deadline, label):
             break
         run = train_member(
