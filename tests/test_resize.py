@@ -143,6 +143,38 @@ def test_band_blend_up2_matches_mm_blend(axis_from_end, in_size, align):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("axis_from_end", [3, 2])
+@pytest.mark.parametrize("in_size", [5, 8, 16])
+@pytest.mark.parametrize("align", [True, False])
+def test_gather_blend_up2_matches_mm_blend(axis_from_end, in_size, align):
+    """The exact-2x gather-lerp lowering (natural-order forward, banded
+    strided-slice VJP) must match the interp-matrix contraction in value
+    and gradient."""
+    import jax
+    from vaeunet_tpu.ops import resize as R
+
+    rng = np.random.RandomState(11)
+    shape = [2, in_size if axis_from_end == 3 else 7,
+             in_size if axis_from_end == 2 else 7, 3]
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    axis = 4 - axis_from_end
+
+    def ga(v):
+        return R._gather_blend_up2(v, axis, in_size, align)
+
+    def mm(v):
+        return R._mm_blend(v, axis, in_size, 2 * in_size, align)
+
+    np.testing.assert_allclose(np.asarray(ga(x)), np.asarray(mm(x)),
+                               rtol=0, atol=1e-5)
+
+    ct = jnp.asarray(rng.randn(*mm(x).shape).astype(np.float32))
+    g_ga = jax.grad(lambda v: jnp.sum(ga(v) * ct))(x)
+    g_mm = jax.grad(lambda v: jnp.sum(mm(v) * ct))(x)
+    np.testing.assert_allclose(np.asarray(g_ga), np.asarray(g_mm),
+                               rtol=0, atol=1e-5)
+
+
 def test_broadcast_latent_equals_interp_of_1x1():
     """Interpolating a 1x1 map == broadcast (the reference does the former,
     unet_resnet.py:217-221; we do the latter)."""

@@ -46,6 +46,15 @@ _BAND2X_PAD = os.environ.get("VAEUNET_BAND2X_INTERLEAVE", "stack") == "pad"
 # neighbours more cheaply than the dot-internal relayout it otherwise
 # inserts (the largest remaining copy family per scripts/profile_step.py).
 _HMODE = os.environ.get("VAEUNET_RESIZE_HMODE", "einsum")
+# Exact-2x gather-lerp lowering: "" (off, default), "h" (H axis only),
+# "hw" (both spatial axes).  Forward = two row-gathers + a weighted blend
+# that writes output rows in NATURAL order (no parity interleave — the
+# relayout that sank the band2x attempt), backward = the banded transpose
+# as 3 strided slices + weighted add (no scatter — what sank the original
+# gather-lerp).  Pure VPU work, no MXU dot, no operand transpose: the
+# candidate killer for the H-contraction relayout family profile_step.py
+# attributes most residual copies to.
+_GATHER2X = os.environ.get("VAEUNET_RESIZE_GATHER2X", "")
 
 
 def _source_coords(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
@@ -248,6 +257,89 @@ def _band_blend_up2_bwd(axis, in_size, align_corners, _res, g):
 _band_blend_up2.defvjp(_band_blend_up2_fwd, _band_blend_up2_bwd)
 
 
+def _lerp_apply(x: jnp.ndarray, axis: int, in_size: int, out_size: int,
+                align_corners: bool) -> jnp.ndarray:
+    """Gather + ``(1-lam)*lo + lam*hi`` product-form linear interp (the
+    PyTorch upsample formulation).  Output rows land in natural order."""
+    coords = _source_coords(in_size, out_size, align_corners)
+    i0 = np.clip(np.floor(coords).astype(np.int32), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    lam = jnp.asarray((coords - i0).astype(np.float32), dtype=x.dtype)
+
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    lam = lam.reshape(shape)
+
+    lo = jnp.take(x, i0, axis=axis)
+    hi = jnp.take(x, i1, axis=axis)
+    return (1.0 - lam) * lo + lam * hi
+
+
+def _transpose_band_weights_up2(in_size: int, align_corners: bool):
+    """Per-offset weights of the TRANSPOSED exact-2x interp matrix.
+
+    ``M [2H, H]`` for a 2x linear upsample feeds input row k into at most
+    the three output rows ``2k + e, e in {0, 1, 2}`` (both coordinate
+    conventions; verified by reconstruction below), so the cotangent is
+    ``dx[k] = sum_e w[e][k] * g[2k + e]`` — strided slices + weighted adds,
+    never a scatter.  Returns ``[(e, w_e)]`` for the live offsets.
+    """
+    m = _interp_matrix(in_size, 2 * in_size, align_corners)
+    mt = m.T                                     # [H, 2H]
+    recon = np.zeros_like(mt)
+    out = []
+    for e in range(-2, 4):
+        w = np.zeros(in_size, np.float32)
+        for k in range(in_size):
+            c = 2 * k + e
+            if 0 <= c < 2 * in_size:
+                w[k] = mt[k, c]
+                recon[k, c] = mt[k, c]
+        if np.any(w):
+            out.append((e, w))
+    if not np.allclose(recon, mt):
+        raise AssertionError("2x interp transpose is not 3-banded")
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _gather_blend_up2(x: jnp.ndarray, axis: int, in_size: int,
+                      align_corners: bool) -> jnp.ndarray:
+    """Exact-2x linear upsample, gather-lerp forward + banded-slice VJP.
+
+    Enabled per-axis by VAEUNET_RESIZE_GATHER2X (see the flag note at the
+    top).  Semantics identical to ``_mm_blend(x, axis, in, 2*in, ac)``.
+    """
+    return _lerp_apply(x, axis, in_size, 2 * in_size, align_corners)
+
+
+def _gather_blend_up2_fwd(x, axis, in_size, align_corners):
+    return _gather_blend_up2(x, axis, in_size, align_corners), None
+
+
+def _gather_blend_up2_bwd(axis, in_size, align_corners, _res, g):
+    # dx[k] = sum_e w_e[k] * g[2k + e]; pad once so every strided slice is
+    # in range, then let XLA fuse the slices into the weighted-add loop.
+    bands = _transpose_band_weights_up2(in_size, align_corners)
+    lo_pad = max(0, -min(e for e, _ in bands))
+    hi_pad = max(0, max(e for e, _ in bands) + 2 * (in_size - 1)
+                 - (2 * in_size - 1))
+    pad = [(0, 0)] * g.ndim
+    pad[axis] = (lo_pad, hi_pad)
+    gp = jnp.pad(g, pad) if (lo_pad or hi_pad) else g
+    dx = None
+    for e, w in bands:
+        sl = [slice(None)] * g.ndim
+        start = e + lo_pad
+        sl[axis] = slice(start, start + 2 * in_size - 1, 2)
+        term = _axis_vec(w, g.ndim, axis, g.dtype) * gp[tuple(sl)]
+        dx = term if dx is None else dx + term
+    return (dx,)
+
+
+_gather_blend_up2.defvjp(_gather_blend_up2_fwd, _gather_blend_up2_bwd)
+
+
 def _gather_blend(x: jnp.ndarray, axis: int, in_size: int, out_size: int,
                   align_corners: bool) -> jnp.ndarray:
     """Linear interpolation of `x` along `axis` to `out_size`.
@@ -264,8 +356,13 @@ def _gather_blend(x: jnp.ndarray, axis: int, in_size: int, out_size: int,
     if in_size == out_size:
         return x
     if jax.default_backend() == "tpu":
-        if _BAND2X and out_size == 2 * in_size and axis >= x.ndim - 3:
-            return _band_blend_up2(x, axis, in_size, align_corners)
+        if out_size == 2 * in_size and axis >= x.ndim - 3:
+            if _BAND2X:
+                return _band_blend_up2(x, axis, in_size, align_corners)
+            is_h = axis == x.ndim - 3
+            if (_GATHER2X == "hw" and axis >= x.ndim - 3) or \
+                    (_GATHER2X == "h" and is_h):
+                return _gather_blend_up2(x, axis, in_size, align_corners)
         return _mm_blend(x, axis, in_size, out_size, align_corners)
 
     coords = _source_coords(in_size, out_size, align_corners)
