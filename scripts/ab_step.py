@@ -26,11 +26,13 @@ import vaeunet_tpu.ops.resize as R
 HW, BATCH, STEPS, WARMUP = 512, 16, 15, 3
 
 VARIANTS = {
-    # name: (band2x on, pad interleave, h-pass mode)
-    "mm": (False, False, "einsum"),
-    "band-stack": (True, False, "einsum"),
-    "band-pad": (True, True, "einsum"),
-    "mm-bwoc": (False, False, "bwoc"),
+    # name: (band2x on, pad interleave, h-pass mode, gather2x axes)
+    "mm": (False, False, "einsum", ""),
+    "band-stack": (True, False, "einsum", ""),
+    "band-pad": (True, True, "einsum", ""),
+    "mm-bwoc": (False, False, "bwoc", ""),
+    "g2x-h": (False, False, "einsum", "h"),
+    "g2x-hw": (False, False, "einsum", "hw"),
 }
 
 
@@ -43,10 +45,11 @@ def run_variant(name: str) -> float:
     # whether a larger per-step batch amortizes fixed overheads.
     name, _, bs = name.partition("@")
     B = int(bs) if bs else BATCH
-    band, pad, hmode = VARIANTS[name]
+    band, pad, hmode, g2x = VARIANTS[name]
     R._BAND2X = band
     R._BAND2X_PAD = pad
     R._HMODE = hmode
+    R._GATHER2X = g2x
 
     config = TrainConfig(model_type="resnet", batch_size=B,
                          gradient_accumulation_steps=1, amp=True,

@@ -51,9 +51,11 @@ _HMODE = os.environ.get("VAEUNET_RESIZE_HMODE", "einsum")
 # that writes output rows in NATURAL order (no parity interleave — the
 # relayout that sank the band2x attempt), backward = the banded transpose
 # as 3 strided slices + weighted add (no scatter — what sank the original
-# gather-lerp).  Pure VPU work, no MXU dot, no operand transpose: the
-# candidate killer for the H-contraction relayout family profile_step.py
-# attributes most residual copies to.
+# gather-lerp).  MEASURED END-TO-END (round 3, scripts/ab_step.py): h-only
+# 221.6 img/s, hw 178.3 vs the mm default's 235.8 — the row-gathers
+# re-tile the sublane axis anyway and the VPU blend costs more than the
+# relayout copies it removes, so the dot_general form stays the default
+# (see RESULTS.md "irreducible under current XLA").
 _GATHER2X = os.environ.get("VAEUNET_RESIZE_GATHER2X", "")
 
 
