@@ -210,3 +210,36 @@ def test_debug_nans_flag_smoke():
         assert np.isfinite(float(aux["loss"]))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_streaming_stager_bounded_lifetime():
+    """StreamingStager (the host-fed fallback, loop.py): arrays staged at
+    step N are deleted when step N+depth is staged, never sooner, and
+    close() retires everything still live."""
+    from vaeunet_tpu.data.device_cache import StreamingStager
+
+    st = StreamingStager(depth=2, gc_every=0)
+    a0 = st.stage(np.ones((2, 4, 4, 3), np.float32))
+    a1 = st.stage(np.ones((2, 4, 4, 3), np.float32))
+    assert not a0[0].is_deleted() and not a1[0].is_deleted()
+    a2 = st.stage(np.ones((2, 4, 4, 3), np.float32))
+    assert a0[0].is_deleted()           # retired at stage N+2
+    assert not a1[0].is_deleted() and not a2[0].is_deleted()
+    # staged arrays are usable device inputs until retirement
+    assert float(jnp.sum(a2[0])) == 2 * 4 * 4 * 3
+    st.close()
+    assert a1[0].is_deleted() and a2[0].is_deleted()
+    st.close()                          # idempotent
+
+
+def test_streaming_stager_multi_array_and_gc():
+    from vaeunet_tpu.data.device_cache import StreamingStager
+
+    st = StreamingStager(depth=1, gc_every=2)
+    imgs, msks = st.stage(np.zeros((1, 2, 2, 3), np.float32),
+                          np.zeros((1, 2, 2, 1), np.float32))
+    n0 = (imgs, msks)
+    st.stage(np.zeros((1, 2, 2, 3), np.float32),
+             np.zeros((1, 2, 2, 1), np.float32))   # triggers gc_every too
+    assert n0[0].is_deleted() and n0[1].is_deleted()
+    st.close()

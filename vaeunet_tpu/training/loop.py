@@ -46,7 +46,7 @@ log = logging.getLogger(__name__)
 
 def evaluate_model(eval_step, variables, loader: Loader, rng,
                    max_samples: int = 4,
-                   device_data=None) -> Tuple[Dict[str, float], List]:
+                   device_data=None, stager=None) -> Tuple[Dict[str, float], List]:
     """Average metrics over batches + collect <=max_samples visualization
     triples (image, pred_probs, mask).  (evaluate.py:20-101)
 
@@ -72,8 +72,12 @@ def evaluate_model(eval_step, variables, loader: Loader, rng,
             metrics, logits = eval_step(variables, device_data.images,
                                         device_data.masks, idx, sub, valid)
         else:
-            metrics, logits = eval_step(variables, jnp.asarray(batch["image"]),
-                                        jnp.asarray(batch["mask"]), sub, valid)
+            if stager is not None:
+                b_img, b_msk = stager.stage(batch["image"], batch["mask"])
+            else:
+                b_img = jnp.asarray(batch["image"])
+                b_msk = jnp.asarray(batch["mask"])
+            metrics, logits = eval_step(variables, b_img, b_msk, sub, valid)
         per_batch.append(metrics)
         if len(samples) < max_samples:
             take = min(max_samples - len(samples), count)
@@ -172,14 +176,20 @@ def train_model(config: TrainConfig,
         else:
             log.info("Device cache skipped: %.1f GB exceeds limit",
                      est_patch / 1e9)
+    stager = None
     if device_train is None and jax.default_backend() not in ("cpu",):
-        # The host-fed path re-stages every batch over the device link;
-        # on the tunneled TPU backend those transfer buffers leak
-        # client-side (~86 MB/step measured at scale 1.0 — host OOM after
-        # ~1.5k steps).  Loud, because "slower" is not the failure mode.
-        log.warning(
-            "Host-fed batches on backend %r: per-step H2D staging is known "
-            "to leak host RAM on tunneled backends; raise "
+        # The host-fed path re-stages every batch over the device link; the
+        # StreamingStager bounds each transfer buffer's lifetime so the
+        # client-side staging RSS stays flat (the unmanaged per-step
+        # jnp.asarray feed leaked ~86 MB/step at scale 1.0 on the tunneled
+        # backend — host OOM after ~1.5k steps; scripts/hostfed_smoke.py
+        # measures the managed path).  The device cache is still the fast
+        # path: staging re-sends every batch over the link.
+        from vaeunet_tpu.data.device_cache import StreamingStager
+        stager = StreamingStager()
+        log.info(
+            "Host-fed batches on backend %r: streaming staging enabled "
+            "(bounded-lifetime H2D buffers).  For peak throughput raise "
             "--device-cache-max-bytes so the dataset fits in HBM "
             "(image-level cache needs only the unique source images).",
             jax.default_backend())
@@ -264,7 +274,8 @@ def train_model(config: TrainConfig,
         eval_rng, sub = jax.random.split(eval_rng)
         val_metrics, val_samples = evaluate_model(
             eval_step, state.variables(), val_loader, sub, max_samples=4,
-            device_data=device_val)
+            device_data=device_val,
+            stager=stager if device_val is None else None)
         val_score = val_metrics.get("dice", 0.0)
         lr = get_learning_rate(state)
         new_lr = scheduler.step(val_score, lr)
@@ -342,8 +353,12 @@ def train_model(config: TrainConfig,
                     jnp.asarray(device_train.batch_indices(batch["idx"])),
                     jnp.float32(beta))
             else:
-                images = jnp.asarray(batch["image"])
-                masks = jnp.asarray(batch["mask"])
+                if stager is not None:
+                    images, masks = stager.stage(batch["image"],
+                                                 batch["mask"])
+                else:
+                    images = jnp.asarray(batch["image"])
+                    masks = jnp.asarray(batch["mask"])
                 if place_batch is not None:
                     images, masks = place_batch(images, masks)
                 new_state, aux = train_step(state, images, masks,
