@@ -87,9 +87,15 @@ def main():
           f"({growth_per_step:.2f} MB/step; unmanaged baseline was ~86)",
           flush=True)
     stager.close()
-    # "flat" = cumulative growth under one unmanaged step's leak
-    assert final - base < 86.0, (
-        f"RSS grew {final - base:.0f} MB over {steps} steps")
+    # "flat" = cumulative growth under ONE unmanaged step's staged bytes at
+    # the *configured* shapes (ADVICE r3: the old absolute 86 MB constant
+    # was calibrated to the default scale-1.0 run and lost meaning when
+    # batch/hw were overridden), floored at 16 MB of allocator slack.
+    step_mb = (host[0][0].nbytes + host[0][1].nbytes) / 1e6
+    limit = max(16.0, step_mb)
+    assert final - base < limit, (
+        f"RSS grew {final - base:.0f} MB over {steps} steps "
+        f"(limit {limit:.0f} MB = one step's staged bytes)")
     print("PASS: host RSS flat under streaming staging", flush=True)
 
 

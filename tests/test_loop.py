@@ -38,6 +38,7 @@ def synth_root(tmp_path_factory):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_train_checkpoint_resume(synth_root, tmp_path):
     config = TrainConfig(
         model_type="resnet", latent_dim=8, epochs=2, batch_size=2,
@@ -72,6 +73,7 @@ def test_train_checkpoint_resume(synth_root, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_resume_continues_training(synth_root, tmp_path):
     """resume_from restores step/best/scheduler and continues from the next
     epoch (the true-resume capability the reference lacks)."""

@@ -81,6 +81,7 @@ def test_dp_explicit_shard_map_runs():
     assert aux["mu"].shape == (8, 8)
 
 
+@pytest.mark.nightly
 def test_dp_explicit_matches_hand_split_reference():
     """shard_map DP == a hand-computed two-device reference: per-shard
     gradients/BN-stats computed independently on each half-batch, then
@@ -258,6 +259,7 @@ def test_tp_sharded_step_matches_unsharded():
     assert cos >= 0.9, f"tp grads diverged from unsharded: cosine {cos}"
 
 
+@pytest.mark.nightly
 def test_dp_resume_equals_uninterrupted(tmp_path):
     """Step -> checkpoint -> restore -> step == two uninterrupted DP steps
     (VERDICT round-1 weak #4c)."""
@@ -298,6 +300,7 @@ def test_graft_entry_forward():
     assert mu.shape == (2, 32)
 
 
+@pytest.mark.nightly
 def test_train_model_dp_end_to_end(tmp_path):
     """Full DP training loop on the virtual mesh: synthetic dataset, 1 epoch,
     checkpoint written."""
@@ -338,6 +341,7 @@ def test_train_model_dp_end_to_end(tmp_path):
     assert any("val/dice" in ln for ln in lines)
 
 
+@pytest.mark.nightly
 def test_predict_tiled_sharded_matches_single_device():
     """Tile-grid sharding over the mesh == single-device tiled prediction."""
     from vaeunet_tpu.inference.tiled import predict_with_patches

@@ -61,13 +61,18 @@ class StreamingStager:
         self._gc_every = gc_every
         self._n = 0
 
+    @staticmethod
+    def _retire(a) -> None:
+        # Only a donated/already-deleted buffer is expected here; any other
+        # failure means the staging contract is broken and must be heard
+        # (ADVICE r3: a bare except also hid real backend errors).
+        if not a.is_deleted():
+            a.delete()
+
     def stage(self, *host_arrays):
         retire = self._rings.pop(0)
         for a in retire:
-            try:
-                a.delete()
-            except Exception:  # deleted/donated already — nothing to free
-                pass
+            self._retire(a)
         staged = [jnp.asarray(a) for a in host_arrays]
         self._rings.append(list(staged))
         self._n += 1
@@ -80,10 +85,7 @@ class StreamingStager:
     def close(self):
         for ring in self._rings:
             for a in ring:
-                try:
-                    a.delete()
-                except Exception:
-                    pass
+                self._retire(a)
             ring.clear()
 
 

@@ -63,10 +63,17 @@ def evaluate_model(eval_step, variables, loader: Loader, rng,
     per_batch: List[Dict] = []
     samples = []
     b = loader.batch_size
+    # one device buffer per distinct count (only the final partial batch
+    # differs) instead of a fresh ~100 B H2D transfer per batch — the same
+    # unmanaged-feed class the StreamingStager bounds (ADVICE r3)
+    valid_cache: Dict[int, jnp.ndarray] = {}
     for batch in loader:
         rng, sub = jax.random.split(rng)
         count = int(batch["count"])
-        valid = jnp.asarray((np.arange(b) < count).astype(np.float32))
+        valid = valid_cache.get(count)
+        if valid is None:
+            valid = valid_cache.setdefault(
+                count, jnp.asarray((np.arange(b) < count).astype(np.float32)))
         if device_data is not None:
             idx = jnp.asarray(device_data.batch_indices(batch["idx"]))
             metrics, logits = eval_step(variables, device_data.images,
@@ -316,86 +323,98 @@ def train_model(config: TrainConfig,
             no_improvement += 1
         return state, no_improvement >= config.early_stopping_patience
 
-    for epoch in range(start_epoch, config.epochs + 1):
-        beta = annealer.get_weight(epoch)
-        log.info("Epoch %d: KL weight (beta) %.6f", epoch, beta)
-        epoch_mu, epoch_logvar = [], []
-        steps_per_epoch = len(train_loader)
-        pending: List[Tuple[Dict, int, int]] = []  # (aux, step, batch_idx)
-        # aux stays on device until a validation point; each host fetch is a
-        # ~30ms round-trip AND a full pipeline sync on the tunneled backend,
-        # so per-step float() reads would serialize every dispatch.
+    def _epoch_loop():
+        nonlocal state, global_step
+        for epoch in range(start_epoch, config.epochs + 1):
+            beta = annealer.get_weight(epoch)
+            # one device scalar per epoch, not per step (ADVICE r3: the
+            # per-step jnp.float32(beta) was an unmanaged ~100 B H2D transfer
+            # on the tunneled backend — same leak class the stager bounds)
+            beta_dev = jnp.float32(beta)
+            log.info("Epoch %d: KL weight (beta) %.6f", epoch, beta)
+            epoch_mu, epoch_logvar = [], []
+            steps_per_epoch = len(train_loader)
+            pending: List[Tuple[Dict, int, int]] = []  # (aux, step, batch_idx)
+            # aux stays on device until a validation point; each host fetch is a
+            # ~30ms round-trip AND a full pipeline sync on the tunneled backend,
+            # so per-step float() reads would serialize every dispatch.
 
-        def flush_pending():
-            nonlocal pending
-            if not pending:
-                return
-            stacked = jax.tree.map(lambda *v: jnp.stack(v),
-                                   *[p[0] for p in pending])
-            fetched = jax.device_get(stacked)  # one sync for the whole span
-            for j, (_, step_no, bidx) in enumerate(pending):
-                if bidx % 5 == 0 and is_vae:
-                    epoch_mu.append(fetched["mu"][j])
-                    epoch_logvar.append(fetched["logvar"][j])
-                tracker.log({
-                    "train/total_loss": float(fetched["loss"][j]),
-                    "train/kl_loss": float(fetched["kl_loss"][j]),
-                    "train/kl_weight": beta,
-                    "train/reconstruction_loss": float(fetched["recon_loss"][j]),
-                    "step": step_no, "epoch": epoch,
-                }, step=step_no)
-            pending = []
+            def flush_pending():
+                nonlocal pending
+                if not pending:
+                    return
+                stacked = jax.tree.map(lambda *v: jnp.stack(v),
+                                       *[p[0] for p in pending])
+                fetched = jax.device_get(stacked)  # one sync for the whole span
+                for j, (_, step_no, bidx) in enumerate(pending):
+                    if bidx % 5 == 0 and is_vae:
+                        epoch_mu.append(fetched["mu"][j])
+                        epoch_logvar.append(fetched["logvar"][j])
+                    tracker.log({
+                        "train/total_loss": float(fetched["loss"][j]),
+                        "train/kl_loss": float(fetched["kl_loss"][j]),
+                        "train/kl_weight": beta,
+                        "train/reconstruction_loss": float(fetched["recon_loss"][j]),
+                        "step": step_no, "epoch": epoch,
+                    }, step=step_no)
+                pending = []
 
-        for batch_idx, batch in enumerate(train_loader):
-            if device_train is not None:
-                new_state, aux = train_step(
-                    state, device_train.images, device_train.masks,
-                    jnp.asarray(device_train.batch_indices(batch["idx"])),
-                    jnp.float32(beta))
-            else:
-                if stager is not None:
-                    images, masks = stager.stage(batch["image"],
-                                                 batch["mask"])
+            for batch_idx, batch in enumerate(train_loader):
+                if device_train is not None:
+                    new_state, aux = train_step(
+                        state, device_train.images, device_train.masks,
+                        jnp.asarray(device_train.batch_indices(batch["idx"])),
+                        beta_dev)
                 else:
-                    images = jnp.asarray(batch["image"])
-                    masks = jnp.asarray(batch["mask"])
-                if place_batch is not None:
-                    images, masks = place_batch(images, masks)
-                new_state, aux = train_step(state, images, masks,
-                                            jnp.float32(beta))
-            state = new_state
-            global_step += 1
-            pending.append((aux, global_step, batch_idx))
+                    if stager is not None:
+                        images, masks = stager.stage(batch["image"],
+                                                     batch["mask"])
+                    else:
+                        images = jnp.asarray(batch["image"])
+                        masks = jnp.asarray(batch["mask"])
+                    if place_batch is not None:
+                        images, masks = place_batch(images, masks)
+                    new_state, aux = train_step(state, images, masks,
+                                                beta_dev)
+                state = new_state
+                global_step += 1
+                pending.append((aux, global_step, batch_idx))
 
-            current = batch_idx + 1
-            if current == steps_per_epoch // 2 or current == steps_per_epoch:
-                flush_pending()
-                point = "mid" if current == steps_per_epoch // 2 else "end"
-                log.info("Running %s-epoch validation (epoch %d, step %d/%d)",
-                         point, epoch, current, steps_per_epoch)
-                state, stop = validate(state, point, epoch)
-                if stop:
-                    log.info("Early stopping triggered after %d epochs", epoch)
-                    tracker.finish(early_stopped=True, final_epoch=epoch)
-                    from vaeunet_tpu.training.checkpoint import wait_for_saves
-                    wait_for_saves()
-                    return state
+                current = batch_idx + 1
+                if current == steps_per_epoch // 2 or current == steps_per_epoch:
+                    flush_pending()
+                    point = "mid" if current == steps_per_epoch // 2 else "end"
+                    log.info("Running %s-epoch validation (epoch %d, step %d/%d)",
+                             point, epoch, current, steps_per_epoch)
+                    state, stop = validate(state, point, epoch)
+                    if stop:
+                        log.info("Early stopping triggered after %d epochs", epoch)
+                        tracker.finish(early_stopped=True, final_epoch=epoch)
+                        from vaeunet_tpu.training.checkpoint import wait_for_saves
+                        wait_for_saves()
+                        return state
 
-        flush_pending()
-        if epoch_mu:
-            stats = calculate_latent_stats(
-                jnp.asarray(np.concatenate(epoch_mu)),
-                jnp.asarray(np.concatenate(epoch_logvar)))
-            stats = {k: float(v) for k, v in stats.items()}
-            tracker.log({f"latent/{k}": v for k, v in stats.items()
-                         if k != "total_dims"} | {"epoch": epoch})
-            log.info("Latent stats: active %d/%d (%.2f), total KL %.4f",
-                     int(stats["active_dims"]), int(stats["total_dims"]),
-                     stats["activity_ratio"], stats["total_kl"])
+            flush_pending()
+            if epoch_mu:
+                stats = calculate_latent_stats(
+                    jnp.asarray(np.concatenate(epoch_mu)),
+                    jnp.asarray(np.concatenate(epoch_logvar)))
+                stats = {k: float(v) for k, v in stats.items()}
+                tracker.log({f"latent/{k}": v for k, v in stats.items()
+                             if k != "total_dims"} | {"epoch": epoch})
+                log.info("Latent stats: active %d/%d (%.2f), total KL %.4f",
+                         int(stats["active_dims"]), int(stats["total_dims"]),
+                         stats["activity_ratio"], stats["total_kl"])
 
-    log.info("Training done in %.1fs (best dice %.4f)",
-             time.time() - t_start, best_val_score)
-    tracker.finish()
-    from vaeunet_tpu.training.checkpoint import wait_for_saves
-    wait_for_saves()
-    return state
+        log.info("Training done in %.1fs (best dice %.4f)",
+                 time.time() - t_start, best_val_score)
+        tracker.finish()
+        from vaeunet_tpu.training.checkpoint import wait_for_saves
+        wait_for_saves()
+        return state
+
+    try:
+        return _epoch_loop()
+    finally:
+        if stager is not None:
+            stager.close()  # idempotent; frees the staged H2D rings
