@@ -62,8 +62,17 @@ FUSION_RULES = {
     "mean": lambda s: s.mean(0),
     "max": lambda s: s.max(0),
     "median": lambda s: np.median(s, axis=0),
+    # noisy-or is kept computable for analysis but is NOT a selection
+    # candidate: it saturates by construction as the pool grows (round-4
+    # measured: 12 entries pushed the expected-area threshold to ~1.0 and
+    # an image to dice 0.0 on test — results/r4_ex_mt05_noisyor/).
     "noisyor": lambda s: 1.0 - np.prod(1.0 - s, axis=0),
 }
+SELECTABLE_RULES = ("mean", "max", "median")
+# A candidate must beat mean on val by this margin to be selected; below
+# it the difference is qualification-set noise (round-4 measured: noisy-or
+# "won" by 1e-4 on val and lost 0.18 mean dice on test).
+FUSION_SELECT_MARGIN = 0.005
 
 
 def fused_val_dice(val_dir: Path, pool, imgs, rule: str,
@@ -144,11 +153,15 @@ def main():
     if args.fusion_from_val and pool:
         by_rule = {r: fused_val_dice(val_dir, pool, imgs, r,
                                      args.area_estimate)
-                   for r in FUSION_RULES}
-        fusion = max(by_rule, key=by_rule.get)
+                   for r in SELECTABLE_RULES}
+        best = max(by_rule, key=by_rule.get)
+        # leave the mean default only on a margin above val noise
+        fusion = (best if by_rule[best] - by_rule["mean"]
+                  > FUSION_SELECT_MARGIN else "mean")
         fusion_note = {k: round(v, 4) for k, v in by_rule.items()}
         print(f"fusion rule by fused val-map dice: {fusion_note} "
-              f"-> {fusion}", flush=True)
+              f"-> {fusion} (margin {FUSION_SELECT_MARGIN} over mean to "
+              f"switch)", flush=True)
 
     point = {
         "members": sorted(pool),

@@ -246,6 +246,41 @@ def test_pool_rule_val_map_floor(tmp_path):
     assert point["member_val_map_dice"]["spray"] < 0.5
 
 
+def test_fusion_selection_needs_margin_and_excludes_noisyor(tmp_path):
+    """Round-4 regression (results/r4_ex_mt05_noisyor): with 12 pool entries
+    the val selection picked noisy-or over mean by 1e-4 of val noise, and
+    noisy-or saturated on test (expected-area threshold ~1.0, one image to
+    dice 0.0).  The selection now (a) never offers noisy-or and (b) leaves
+    the mean default only on a val margin > FUSION_SELECT_MARGIN."""
+    import json
+    import sys
+
+    import scripts.pool_rule as pr
+
+    assert "noisyor" not in pr.SELECTABLE_RULES
+    gt = np.zeros((64, 64), np.uint8)
+    gt[20:40, 20:40] = 1
+    for img in ("IDRiD_55", "IDRiD_56"):
+        np.save(tmp_path / f"gt_{img}.npy", gt)
+        # two near-identical good members: all rules tie on val to within
+        # far less than the margin -> selection must stay "mean"
+        np.save(tmp_path / f"m1_{img}.npy",
+                np.where(gt, 0.90, 0.02).astype(np.float32))
+        np.save(tmp_path / f"m2_{img}.npy",
+                np.where(gt, 0.89, 0.02).astype(np.float32))
+    out = tmp_path / "point.json"
+    argv = sys.argv
+    sys.argv = ["pool_rule", "--val-dir", str(tmp_path), "--out", str(out),
+                "--floor", "0.5", "--fusion-from-val"]
+    try:
+        pr.main()
+    finally:
+        sys.argv = argv
+    point = json.loads(out.read_text())
+    assert point["fusion"] == "mean"
+    assert "noisyor" not in point["fusion_val_dice_by_rule"]
+
+
 def test_member_median_area_estimate_resists_sprayers(tmp_path):
     """Protocol v2: with a diffuse-mass-sprayer in the pool, the fused-mass
     area target collapses precision (threshold driven toward the halo) while
