@@ -57,6 +57,9 @@ CONFIGS = [
     ("EX_T2.0_N10", "EX", 2.0, 10),
     ("MA_T1.0_N10", "MA", 1.0, 10),
     ("MA_T2.0_N10", "MA", 2.0, 10),
+    # calibration/EX_T2.0_N5_NoLatent (grid_report.find_ref handles the
+    # capitalization variant)
+    ("EX_T2.0_N5_nolatent", "EXnolatent", 2.0, 5),
 ]
 
 
@@ -110,17 +113,24 @@ def main():
         ckpt, scale = models[key]
         model, variables = load(key)
         ds = dataset(lesion, scale)
+        # analyze_model names its subdir <LESION>_T{t}_N{n}; ablation
+        # configs carry a suffix, and the plain name may ALSO be a config
+        # of this grid — so suffixed configs run inside a private staging
+        # root (renaming the plain dir in place would clobber/steal the
+        # plain config's results).
+        plain_name = f"{lesion}_T{temp}_N{n}"
+        staged = dirname != plain_name
+        run_root = out_root / f"_ab_{dirname}" if staged else out_root
         aargs = AnalyzeArgs(lesion_type=lesion, temperature=temp, samples=n,
                             patch_size=args.patch_size,
-                            output_dir=str(out_root), global_plots=False)
+                            output_dir=str(run_root), global_plots=False)
         print(f"[{dirname}] running (model {key}@{scale}, T={temp}, N={n})",
               flush=True)
         df = analyze_model(model, variables, ds, aargs)
-        # analyze_model names the dir <LESION>_T{t}_N{n}; ablation configs
-        # carry a suffix — rename to the reference's dirname
-        plain = out_root / f"{lesion}_T{temp}_N{n}"
-        if dirname != plain.name and plain.exists():
-            plain.rename(out_root / dirname)
+        if staged:
+            (out_root / dirname).parent.mkdir(parents=True, exist_ok=True)
+            (run_root / plain_name).rename(out_root / dirname)
+            run_root.rmdir()
         print(f"[{dirname}] mean dice {df['dice'].mean():.4f} "
               f"errAUROC {df['error_auroc'].mean():.4f}", flush=True)
 

@@ -40,3 +40,16 @@ def reference_path():
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
+
+
+def pytest_collection_modifyitems(items):
+    """Enforce the tier invariant: nightly implies slow (ADVICE r4).
+
+    The fast tier is selected with -m "not slow"; a nightly-marked test
+    without the slow marker would silently join the every-push tier.
+    Auto-adding slow keeps the three-tier split correct by construction.
+    """
+    for item in items:
+        if (item.get_closest_marker("nightly")
+                and not item.get_closest_marker("slow")):
+            item.add_marker(pytest.mark.slow)

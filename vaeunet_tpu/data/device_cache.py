@@ -83,10 +83,23 @@ class StreamingStager:
         return staged
 
     def close(self):
+        # Continue the sweep on per-buffer failure and re-raise the first
+        # error only after every ring is cleared: close() runs in
+        # train_model's finally block, where aborting mid-sweep would both
+        # leak the remaining buffers and mask the original training
+        # exception (ADVICE r4).  stage() keeps strict propagation — there
+        # the staging contract is load-bearing.
+        first_err = None
         for ring in self._rings:
             for a in ring:
-                self._retire(a)
+                try:
+                    self._retire(a)
+                except Exception as e:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = e
             ring.clear()
+        if first_err is not None:
+            raise first_err
 
 
 class DeviceCache:

@@ -70,10 +70,10 @@ def evaluate_model(eval_step, variables, loader: Loader, rng,
     for batch in loader:
         rng, sub = jax.random.split(rng)
         count = int(batch["count"])
-        valid = valid_cache.get(count)
-        if valid is None:
-            valid = valid_cache.setdefault(
-                count, jnp.asarray((np.arange(b) < count).astype(np.float32)))
+        if count not in valid_cache:
+            valid_cache[count] = jnp.asarray(
+                (np.arange(b) < count).astype(np.float32))
+        valid = valid_cache[count]
         if device_data is not None:
             idx = jnp.asarray(device_data.batch_indices(batch["idx"]))
             metrics, logits = eval_step(variables, device_data.images,
