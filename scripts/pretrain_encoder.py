@@ -36,6 +36,12 @@ def main():
     p.add_argument("--out", type=str, default="./checkpoints/encoder_ssl")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-amp", dest="amp", action="store_false", default=True)
+    p.add_argument("--pretext", choices=["masked", "contrastive"],
+                   default="masked",
+                   help="masked = MAE-style inpainting (r2 A/B: lost); "
+                        "contrastive = SimCLR NT-Xent over two on-device "
+                        "augmented views (VERDICT r4 #8 second attempt)")
+    p.add_argument("--temperature", type=float, default=0.2)
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
@@ -48,8 +54,10 @@ def main():
 
     from vaeunet_tpu.data.dataset import IDRIDDataset
     from vaeunet_tpu.data.loader import Loader
-    from vaeunet_tpu.training.pretrain import (MaskedReconstructor,
+    from vaeunet_tpu.training.pretrain import (ContrastiveProjector,
+                                               MaskedReconstructor,
                                                encoder_subtree,
+                                               make_contrastive_step,
                                                make_pretrain_step)
 
     from vaeunet_tpu.data.device_cache import DeviceCache
@@ -62,14 +70,22 @@ def main():
                     seed=args.seed, index_only=True)
     log.info("Pretraining on %d patches", len(ds))
 
-    model = MaskedReconstructor(backbone=args.backbone)
+    if args.pretext == "contrastive":
+        model = ContrastiveProjector(backbone=args.backbone)
+    else:
+        model = MaskedReconstructor(backbone=args.backbone)
     rng = jax.random.PRNGKey(args.seed)
     init_x = jnp.zeros((1, args.patch_size, args.patch_size, 3), jnp.float32)
     variables = model.init({"params": rng}, init_x, train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
-    tx, step = make_pretrain_step(model, args.learning_rate, amp=args.amp,
-                                  indexed=True)
+    if args.pretext == "contrastive":
+        tx, step = make_contrastive_step(
+            model, args.learning_rate, amp=args.amp, indexed=True,
+            temperature=args.temperature)
+    else:
+        tx, step = make_pretrain_step(model, args.learning_rate,
+                                      amp=args.amp, indexed=True)
     opt_state = tx.init(params)
 
     t0 = time.time()

@@ -63,3 +63,48 @@ def test_pretrain_learns_and_transplants():
     state50 = create_train_state(cfg50, jax.random.PRNGKey(0), (64, 64))
     with pytest.raises(ValueError):
         transplant_encoder(state50.variables(), enc)
+
+
+def test_ntxent_loss_prefers_aligned_pairs():
+    """NT-Xent: exact value on an orthogonal-pair construction, and aligned
+    positives score lower than misaligned ones."""
+    from vaeunet_tpu.training.pretrain import ntxent_loss
+
+    # perfectly aligned positives, orthogonal negatives
+    e = jnp.eye(4, dtype=jnp.float32)
+    z1 = e[:2]                       # [[1,0,0,0],[0,1,0,0]]
+    z2 = e[:2]
+    t = 0.5
+    # each row: positive sim 1, two negatives sim 0 (other pair + its view),
+    # self masked -> loss = -log(e^{1/t} / (e^{1/t} + 2 e^{0}))
+    expect = -np.log(np.exp(1 / t) / (np.exp(1 / t) + 2.0))
+    got = float(ntxent_loss(z1, z2, temperature=t))
+    assert abs(got - expect) < 1e-5
+
+    # shuffled positives (misaligned) must score strictly worse
+    bad = float(ntxent_loss(z1, z2[::-1], temperature=t))
+    assert bad > got + 0.1
+
+
+@pytest.mark.slow
+def test_contrastive_projector_transplants():
+    """The contrastive pretext's encoder subtree transplants into UNetResNet
+    exactly like the masked one (same contract), and outputs are unit-norm."""
+    from vaeunet_tpu.training.pretrain import ContrastiveProjector
+
+    model = ContrastiveProjector()
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((2, 64, 64, 3)), train=False)
+    z = model.apply(v, jnp.asarray(
+        np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)),
+        train=False)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=-1),
+                               1.0, atol=1e-5)
+    enc = encoder_subtree(v)
+    config = TrainConfig(model_type="resnet", batch_size=1, patch_size=64)
+    state = create_train_state(config, jax.random.PRNGKey(1), (64, 64))
+    out = transplant_encoder(
+        {"params": state.params, "batch_stats": state.batch_stats}, enc)
+    chex_leaf = jax.tree_util.tree_leaves(out["params"]["encoder"])[0]
+    src_leaf = jax.tree_util.tree_leaves(enc["params"]["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(chex_leaf), np.asarray(src_leaf))

@@ -62,6 +62,105 @@ class MaskedReconstructor(nn.Module):
         return self.out_conv(h)
 
 
+class ContrastiveProjector(nn.Module):
+    """ResNet encoder + global pool + 2-layer projection head (SimCLR).
+
+    The second ImageNet-prior substitute pretext (the masked-recon attempt
+    lost its A/B, RESULTS r2): instance discrimination over two on-device
+    augmented views of each fundus patch, NT-Xent over the batch.  Uses the
+    SAME augmentation policy the supervised step folds in (data/augment.py
+    — the jnp rebuild of the reference's albumentations Compose,
+    utils/data_loading.py:116-180), so the invariances learned are exactly
+    the ones training exploits.
+    """
+
+    n_channels: int = 3
+    backbone: str = "resnet34"
+    proj_dim: int = 128
+
+    def setup(self):
+        self.encoder = ResNetEncoder(self.n_channels, backbone=self.backbone,
+                                     name="encoder")
+        self.proj1 = nn.Dense(256, name="proj1")
+        self.proj2 = nn.Dense(self.proj_dim, name="proj2")
+
+    def __call__(self, x, train: bool = False):
+        feats = self.encoder(x, train=train)
+        h = feats[-1].mean(axis=(1, 2))                 # [B, 512]
+        z = self.proj2(nn.relu(self.proj1(h))).astype(jnp.float32)
+        return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+
+def ntxent_loss(z1: jnp.ndarray, z2: jnp.ndarray,
+                temperature: float = 0.2) -> jnp.ndarray:
+    """Normalized-temperature cross entropy (SimCLR eq. 1) for paired
+    views: z1[i] and z2[i] are positives; all other 2B-2 rows negatives.
+    Inputs must be L2-normalized [B, D]."""
+    z = jnp.concatenate([z1, z2], axis=0)               # [2B, D]
+    b = z1.shape[0]
+    sim = (z @ z.T) / temperature
+    sim = jnp.where(jnp.eye(2 * b, dtype=bool), -jnp.inf, sim)
+    labels = jnp.concatenate([jnp.arange(b) + b, jnp.arange(b)])
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+
+def make_contrastive_step(model: ContrastiveProjector, learning_rate: float,
+                          weight_decay: float = 1e-5, amp: bool = True,
+                          indexed: bool = False, temperature: float = 0.2):
+    """Same driver contract as make_pretrain_step (tx, jit'd step); the
+    step's aux pair is (loss, loss) so scripts can share the logging path.
+    Both views are augmented inside the compiled program — no host pixel
+    traffic beyond the uint8 cache gather."""
+    import optax
+
+    from vaeunet_tpu.data.augment import augment_sample
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(learning_rate, weight_decay=weight_decay))
+
+    def two_views(rng, images):
+        dummy = jnp.zeros(images.shape[:-1] + (1,), images.dtype)
+        k1, k2 = jax.random.split(rng)
+        ks1 = jax.random.split(k1, images.shape[0])
+        ks2 = jax.random.split(k2, images.shape[0])
+        v1, _ = jax.vmap(augment_sample)(ks1, images, dummy)
+        v2, _ = jax.vmap(augment_sample)(ks2, images, dummy)
+        return v1, v2
+
+    def loss_fn(params, batch_stats, v1, v2):
+        x = jnp.concatenate([v1, v2], axis=0)
+        if amp:
+            x = x.astype(jnp.bfloat16)
+        z, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        z1, z2 = jnp.split(z, 2, axis=0)
+        return (ntxent_loss(z1, z2, temperature),
+                mutated["batch_stats"])
+
+    def core(params, batch_stats, opt_state, images, rng):
+        rng, sub = jax.random.split(rng)
+        v1, v2 = two_views(sub, images)
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, v1, v2)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _optax
+        params = _optax.apply_updates(params, updates)
+        return params, batch_stats, opt_state, rng, loss, loss
+
+    if indexed:
+        @jax.jit
+        def step(params, batch_stats, opt_state, data_images, idx, rng):
+            images = jnp.take(data_images, idx,
+                              axis=0).astype(jnp.float32) / 255.0
+            return core(params, batch_stats, opt_state, images, rng)
+    else:
+        step = jax.jit(core)
+
+    return tx, step
+
+
 def make_block_mask(rng, batch: int, hw: int, block: int = 32,
                     mask_ratio: float = 0.4):
     """[B,H,W,1] float mask: 1 where the input is blanked (to reconstruct)."""
