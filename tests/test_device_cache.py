@@ -70,6 +70,7 @@ def test_gather_batch_device_matches_host_collate():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_indexed_train_step_matches_host_fed():
     """Same state, same samples: indexed and host-fed steps agree. Loss is
     tight; params only at lr scale — Adam normalizes by sqrt(v), so for
@@ -160,6 +161,7 @@ def test_padded_eval_metrics_equal_unpadded():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_train_model_uses_device_cache(tmp_path):
     """End-to-end loop smoke with the device cache enabled (synthetic
     on-disk dataset -> IDRIDDataset -> DeviceCache -> indexed steps)."""
@@ -196,6 +198,7 @@ def test_train_model_uses_device_cache(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_debug_nans_flag_smoke():
     """--debug-nans surface: the flag builds a working, undonated step and
     flips jax_debug_nans (reset afterwards)."""

@@ -45,6 +45,7 @@ def test_basic_dataset(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_train_on_basic_dataset(tmp_path):
     """End-to-end training epoch on a Carvana-style dataset (BASELINE
     config 3 path)."""

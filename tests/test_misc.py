@@ -33,6 +33,7 @@ def tiny_vae():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_multi_temp_training_step(tiny_vae):
     model, variables = tiny_vae
     config = TrainConfig(lesion_type="EX", latent_dim=8)

@@ -42,6 +42,7 @@ def test_mesh_shapes():
     assert dict(mesh2.shape) == {"data": 4, "model": 2}
 
 
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_dp_pjit_matches_single_device():
     """One DP step over 8 shards == one single-device step (same global
     batch, same init) — pjit DP computes global BN stats, identical math."""
@@ -67,6 +68,7 @@ def test_dp_pjit_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1.1e-3)
 
 
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_dp_explicit_shard_map_runs():
     """The shard_map + psum variant (per-device BN stats, torch-DDP
     semantics) executes and produces finite replicated results."""
@@ -165,6 +167,7 @@ def test_dp_eval_step():
     assert logits.shape == (8, 32, 32, 1)
 
 
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_tp_param_shardings_compile_and_run():
     """dp x tp mesh: wide conv kernels sharded over 'model'; a full train
     step compiles and runs with XLA-inserted collectives."""
@@ -189,6 +192,7 @@ def test_tp_param_shardings_compile_and_run():
     assert np.isfinite(float(aux["loss"]))
 
 
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_tp_sharded_step_matches_unsharded():
     """A tp-sharded step computes the SAME math as the unsharded one (XLA
     inserts collectives; VERDICT round-1 weak #4b).  What is well-posed at

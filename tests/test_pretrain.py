@@ -30,6 +30,7 @@ def test_block_mask_shape_and_ratio():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_pretrain_learns_and_transplants():
     """A few masked-reconstruction steps reduce the loss, and the trained
     encoder transplants into UNetResNet with exact shape/value agreement."""
@@ -87,6 +88,7 @@ def test_ntxent_loss_prefers_aligned_pairs():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_contrastive_projector_transplants():
     """The contrastive pretext's encoder subtree transplants into UNetResNet
     exactly like the masked one (same contract), and outputs are unit-norm."""

@@ -216,6 +216,7 @@ def test_fused_decoder_matches_naive():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly  # rebalanced r5: watched tier held to ~10 min (RESULTS)
 def test_remat_modes_match_no_remat():
     """Rematerialization (full and save_convs policies) must not change
     loss or gradients — it only changes what backward recomputes."""
