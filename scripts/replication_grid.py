@@ -47,19 +47,21 @@ CONFIGS = [
     ("EX_T2.0_N5", "EX", 2.0, 5),
     ("EX_T1.0_N15_nolatent", "EXnolatent", 1.0, 15),
     ("EX_T2.0_N5_latent", "EXlatent", 2.0, 5),
+    # the reference also commits 5-image runs under analysis/ (its
+    # headline EX_T1.0_N10 = 0.708 lives there) and one calibration/
+    # config (EX_T2.0_N5_NoLatent; grid_report.find_ref handles the
+    # capitalization).  Remaining configs ordered cheap-first (EX rows at
+    # the 0.5 analysis scale, then MA@1.0 by ascending N) so a bounded
+    # window maximizes covered configs — the grid resumes where it left.
+    ("EX_T2.0_N10", "EX", 2.0, 10),
+    ("EX_T2.0_N5_nolatent", "EXnolatent", 2.0, 5),
     ("MA_T1.0_N3", "MA", 1.0, 3),
     ("MA_T1.0_N5", "MA", 1.0, 5),
-    ("MA_T1.0_N15", "MA", 1.0, 15),
     ("MA_T2.0_N3", "MA", 2.0, 3),
-    ("MA_T2.0_N15", "MA", 2.0, 15),
-    # the reference also commits 5-image runs under analysis/ (its
-    # headline EX_T1.0_N10 = 0.708 lives there); cover its extra configs
-    ("EX_T2.0_N10", "EX", 2.0, 10),
     ("MA_T1.0_N10", "MA", 1.0, 10),
     ("MA_T2.0_N10", "MA", 2.0, 10),
-    # calibration/EX_T2.0_N5_NoLatent (grid_report.find_ref handles the
-    # capitalization variant)
-    ("EX_T2.0_N5_nolatent", "EXnolatent", 2.0, 5),
+    ("MA_T1.0_N15", "MA", 1.0, 15),
+    ("MA_T2.0_N15", "MA", 2.0, 15),
 ]
 
 
